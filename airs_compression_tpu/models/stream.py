@@ -1,0 +1,173 @@
+"""Batched stream compressor: the flagship device pipeline.
+
+Drives the on-device encoder (ops/encode.py) over B independent block
+chains in lockstep: one call compresses one frame per chain, advancing
+every chain's pass state (sequence number, identifier, model) with the
+exact semantics of B independent reference contexts processed in block
+order (reference cmp.c:213-393).
+
+Host responsibilities (everything the device cannot or should not do):
+  * identifier draws from the process timestamp source, in block order,
+    including the double-draw on an uncompressed fallback (cmp.c:380-392 +
+    engine re-reset) — fallen-back frames get their header identifier
+    bytes patched after the device call;
+  * XXH32 checksums of the raw frames (optional; sequential algorithm,
+    computed with the native xxhash fast path);
+  * slicing the device's fixed-capacity word buffers into per-frame bytes.
+
+Mixed-phase batches (some chains on a primary pass, others on secondary —
+possible after a fallback resets one chain) are handled by encoding the
+batch under both pass configs and selecting per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import context as _context
+from ..format.dtypes import CmpType
+from ..format.errors import CmpError, CmpErrorCode
+from ..format.params import CmpParams, Preprocessing
+from ..ops.encode import (
+    encode_blocks_device,
+    make_pass_config,
+    model_update_step,
+    worst_case_words,
+)
+from ..utils.xxh32 import cmp_checksum
+
+__all__ = ["BatchCompressor"]
+
+
+class BatchCompressor:
+    """Compress sequences of (B, N) u16 frames on device, AIRSPACE-exact."""
+
+    def __init__(self, params: CmpParams, batch: int, n_samples: int,
+                 cmp_type: CmpType = CmpType.U16):
+        params.validate()
+        if 2 * n_samples > (1 << 24) - 1:
+            raise CmpError(CmpErrorCode.HDR_ORIGINAL_TOO_LARGE)
+        self.params = params
+        self.batch = batch
+        self.n_samples = n_samples
+        self.cmp_type = cmp_type
+        unsigned = cmp_type is CmpType.U16
+        self.primary_cfg = make_pass_config(params, False, unsigned)
+        self.secondary_cfg = (make_pass_config(params, True, unsigned)
+                              if params.secondary_iterations else None)
+        self.fallback_cfg = None
+        if params.uncompressed_fallback_enabled:
+            import dataclasses as _dc
+
+            fb_params = _dc.replace(params, primary_preprocessing=Preprocessing.NONE,
+                                    primary_encoder_type=0)
+            self.fallback_cfg = make_pass_config(fb_params, False, unsigned)
+        caps = [worst_case_words(self.primary_cfg, n_samples)]
+        if self.secondary_cfg:
+            caps.append(worst_case_words(self.secondary_cfg, n_samples))
+        self.n_words = max(caps)
+        # per-chain state (host side mirrors of reference cmp_context)
+        self.seq = np.zeros(batch, dtype=np.int64)
+        self.identifiers = np.zeros(batch, dtype=np.int64)
+        self.model = jnp.zeros((batch, n_samples), jnp.int32)
+        self._started = np.zeros(batch, dtype=bool)
+
+    # -- identifier bookkeeping (block order, like sequential C contexts) --
+    def _draw_ids(self, mask: np.ndarray, draws_per_block: int = 1) -> None:
+        for b in np.nonzero(mask)[0]:
+            ident = 0
+            for _ in range(draws_per_block):
+                ident = _context._new_identifier()
+            self.identifiers[b] = ident
+
+    def reset(self) -> None:
+        """Reset every chain (reference cmp_reset semantics per block)."""
+        self.seq[:] = 0
+        self._draw_ids(np.ones(self.batch, dtype=bool))
+        self._started[:] = False
+
+    # -- main entry ------------------------------------------------------
+    def compress_frames(self, frames) -> "list[bytes]":
+        """Compress one (B, N) u16 frame per chain; returns B AIRSPACE frames."""
+        x_np = np.ascontiguousarray(np.asarray(frames, dtype=np.uint16))
+        if x_np.shape != (self.batch, self.n_samples):
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                           f"expected {(self.batch, self.n_samples)}, got {x_np.shape}")
+
+        # pass selection per chain (cmp.c:228-248)
+        primary_mask = (self.seq == 0) | (self.seq > self.params.secondary_iterations)
+        # chains entering a primary pass reset: seq->0, fresh identifier
+        self.seq[primary_mask] = 0
+        self._draw_ids(primary_mask)
+
+        x = jnp.asarray(x_np.view(np.int16), jnp.int32)
+        seq_dev = jnp.asarray(self.seq.astype(np.int32))
+        id_hi = jnp.asarray(((self.identifiers >> 24) & 0xFFFFFF).astype(np.uint32))
+        id_lo = jnp.asarray((self.identifiers & 0xFFFFFF).astype(np.uint32))
+
+        if self.params.checksum_enabled:
+            csums = np.fromiter(
+                (cmp_checksum(row) for row in x_np), dtype=np.uint32,
+                count=self.batch)
+            checksum = jnp.asarray(csums)
+        else:
+            checksum = jnp.zeros((self.batch,), jnp.uint32)
+
+        all_primary = bool(primary_mask.all())
+        all_secondary = bool((~primary_mask).all())
+
+        def run(cfg):
+            return encode_blocks_device(cfg, self.fallback_cfg, x, self.model,
+                                        seq_dev, id_hi, id_lo, checksum,
+                                        self.n_words)
+
+        if all_primary or self.secondary_cfg is None:
+            words, sizes, fell_back = run(self.primary_cfg)
+            used_cfg_rate = self.primary_cfg
+        elif all_secondary:
+            words, sizes, fell_back = run(self.secondary_cfg)
+            used_cfg_rate = self.secondary_cfg
+        else:
+            w_p, s_p, f_p = run(self.primary_cfg)
+            w_s, s_s, f_s = run(self.secondary_cfg)
+            pm = jnp.asarray(primary_mask)
+            words = jnp.where(pm[:, None], w_p, w_s)
+            sizes = jnp.where(pm, s_p, s_s)
+            fell_back = jnp.where(pm, f_p, f_s)
+            used_cfg_rate = self.primary_cfg
+
+        # model transition (only meaningful when the chain keeps a model)
+        if self.params.model_is_needed():
+            self.model = model_update_step(
+                x, self.model, seq_dev, fell_back,
+                self.params.model_rate,
+                self.cmp_type is CmpType.U16)
+
+        words_np = np.asarray(words)
+        sizes_np = np.asarray(sizes)
+        fell_np = np.asarray(fell_back)
+
+        # sequence transitions: normal pass -> seq+1; fallback -> chain was
+        # reset and the uncompressed pass ran at seq 0 -> next seq is 1
+        self.seq = np.where(fell_np, 1, self.seq + 1)
+
+        frames_out: list[bytes] = []
+        be_bytes = words_np.astype(">u4").tobytes()
+        stride = self.n_words * 4
+        for b in range(self.batch):
+            size = int(sizes_np[b])
+            frame = bytearray(be_bytes[b * stride : b * stride + size])
+            if fell_np[b]:
+                # the reference draws two fresh identifiers on fallback
+                # (generic reset + engine reset, cmp.c:380-392); patch the
+                # header identifier accordingly
+                ident = 0
+                for _ in range(2):
+                    ident = _context._new_identifier()
+                self.identifiers[b] = ident
+                frame[8:14] = int(ident).to_bytes(6, "big")
+            frames_out.append(bytes(frame))
+        return frames_out

@@ -1,0 +1,222 @@
+"""Fused on-device block encoder: preprocess -> codewords -> bit-pack -> frame.
+
+One call encodes a whole batch of blocks (B, N) into complete AIRSPACE
+frames (header + payload [+ checksum]) as big-endian 32-bit word streams,
+entirely on device.  Differences from the reference engine
+(lib/compress/cmp.c:213-338) that make it TPU-native:
+
+* The per-sample loop with two indirect calls becomes three fused
+  vectorized stages on the VPU (ops/preprocess, ops/golomb, ops/bitpack).
+* The reference writes a placeholder header, encodes, then rewinds to patch
+  ``compressed_size`` (cmp.c:321-334).  Here the bit lengths are known
+  before packing, so the final header is assembled up front and the whole
+  frame is packed in one pass — no rewind.
+* The model update (cmp.c:296-312) is a vectorized select + EMA.
+* The uncompressed fallback probe (cmp.c:342-393) reduces to a size
+  comparison: the probe "fails with DST_TOO_SMALL" exactly when the
+  compressed frame would exceed the uncompressed frame size, so the
+  fallback decision is ``compressed_size > uncompressed_size`` and both
+  candidate frames are produced branch-free, selected per block.
+
+All compression parameters are static (they select code paths and fold
+into constants); batch contents, sequence number, identifiers, model state
+and checksums are traced.
+
+The host-side wrapper (models/stream.py) handles identifier draws, byte
+extraction, and bit-exactness bookkeeping for the fallback path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..format.header import CMP_VERSION_NUMBER
+from ..format.params import CmpParams, EncoderType, Preprocessing
+from ..utils.bits import derive_encoder_outlier
+from . import bitpack, golomb, preprocess
+
+__all__ = ["PassConfig", "make_pass_config", "encode_blocks_device", "worst_case_words"]
+
+_U32 = jnp.uint32
+
+_HDR_BASIC_BITS = 128   # 16-byte header
+_HDR_EXT_BITS = 176     # 22-byte header with extension
+
+
+class PassConfig:
+    """Static configuration of one encode pass (hashable for jit)."""
+
+    def __init__(self, prep: int, enc_type: int, g_par: int, outlier: int,
+                 checksum: bool, model_rate: int, model_needed: bool,
+                 unsigned_model: bool):
+        self.prep = prep
+        self.enc_type = enc_type
+        self.g_par = g_par
+        self.outlier = outlier
+        self.checksum = checksum
+        self.model_rate = model_rate
+        self.model_needed = model_needed
+        self.unsigned_model = unsigned_model
+        self.has_ext = prep != 0 or enc_type != 0
+        self.hdr_bits = _HDR_EXT_BITS if self.has_ext else _HDR_BASIC_BITS
+
+    def _key(self):
+        return (self.prep, self.enc_type, self.g_par, self.outlier,
+                self.checksum, self.model_rate, self.model_needed,
+                self.unsigned_model)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, PassConfig) and self._key() == other._key()
+
+    @property
+    def worst_bits_per_sample(self) -> int:
+        if self.enc_type == int(EncoderType.UNCOMPRESSED):
+            return 16
+        if self.enc_type == int(EncoderType.GOLOMB_ZERO):
+            return (int(self.g_par).bit_length() - 1) + 1 + 16
+        return 48  # MULTI: 32-bit codeword + 16 raw bits
+
+
+def make_pass_config(params: CmpParams, secondary: bool,
+                     unsigned_model: bool) -> PassConfig:
+    """Derive the static pass config (mirrors cmp.c:228-248 selection)."""
+    prep, enc_t, enc_p, out_p = params.pass_params(secondary)
+    outlier = derive_encoder_outlier(int(enc_t), enc_p, out_p)
+    return PassConfig(int(prep), int(enc_t), enc_p, outlier,
+                      bool(params.checksum_enabled), params.model_rate,
+                      params.model_is_needed(), unsigned_model)
+
+
+def worst_case_words(cfg: PassConfig, n: int) -> int:
+    """Static output capacity (32-bit words) for n samples under cfg."""
+    bits = cfg.hdr_bits + cfg.worst_bits_per_sample * n + 7 + 32
+    return (bits + 31) // 32 + 1
+
+
+def _header_codes(cfg: PassConfig, compressed_size, original_size, id_hi,
+                  id_lo, seq):
+    """Per-block header as (hi, lo, len) code arrays (layout:
+    cmp_header.h:26-51; serialization header.c:24-67)."""
+    B = compressed_size.shape[0]
+    z = jnp.zeros((B,), _U32)
+    version = jnp.full((B,), (1 << 15) | CMP_VERSION_NUMBER, _U32)
+    method = ((cfg.prep & 0xF) << 4) | ((1 if cfg.checksum else 0) << 3) | (cfg.enc_type & 0x7)
+    seq_method = ((seq.astype(_U32) & _U32(0xFF)) << _U32(8)) | _U32(method)
+    values = [version, compressed_size.astype(_U32),
+              jnp.full((B,), original_size, _U32),
+              id_hi.astype(_U32), id_lo.astype(_U32), seq_method]
+    lens = [16, 24, 24, 24, 24, 16]
+    if cfg.has_ext:
+        model_rate = cfg.model_rate if cfg.prep == int(Preprocessing.MODEL) else 0
+        enc_param = cfg.g_par if cfg.enc_type != 0 else 0
+        enc_outlier = cfg.outlier if cfg.enc_type != 0 else 0
+        values += [jnp.full((B,), (model_rate << 16) | enc_param, _U32),
+                   jnp.full((B,), enc_outlier, _U32)]
+        lens += [24, 24]
+    hi = jnp.stack([z] * len(values), axis=-1)
+    lo = jnp.stack(values, axis=-1)
+    ln = jnp.broadcast_to(jnp.asarray(lens, jnp.int32), (B, len(lens)))
+    return hi, lo, ln
+
+
+def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
+                     seq: jax.Array, id_hi: jax.Array, id_lo: jax.Array,
+                     checksum: jax.Array, n_words: int):
+    """Encode (B, N) int32 samples under a static pass config.
+
+    Returns (words (B, n_words) u32, size_bytes (B,) i32).
+    """
+    B, N = x.shape
+    residuals = preprocess.preprocess_forward(
+        cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
+    hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
+                                           cfg.g_par, cfg.outlier)
+    payload_bits = jnp.sum(lens, axis=-1)
+    bits = cfg.hdr_bits + payload_bits
+    if cfg.checksum:
+        pad = (-bits) % 8
+        total_bits = bits + pad + 32
+    else:
+        total_bits = bits
+    size_bytes = (total_bits + 7) >> 3
+
+    hdr_hi, hdr_lo, hdr_ln = _header_codes(
+        cfg, size_bytes, 2 * N, id_hi, id_lo, seq)
+
+    parts_hi = [hdr_hi, hi]
+    parts_lo = [hdr_lo, lo]
+    parts_ln = [hdr_ln, lens]
+    if cfg.checksum:
+        z = jnp.zeros((B, 1), _U32)
+        parts_hi += [z, z]
+        parts_lo += [z, checksum.reshape(B, 1).astype(_U32)]
+        parts_ln += [pad.reshape(B, 1).astype(jnp.int32),
+                     jnp.full((B, 1), 32, jnp.int32)]
+    all_hi = jnp.concatenate(parts_hi, axis=-1)
+    all_lo = jnp.concatenate(parts_lo, axis=-1)
+    all_ln = jnp.concatenate(parts_ln, axis=-1)
+
+    words, _ = bitpack.pack_codes(all_hi, all_lo, all_ln, n_words)
+    return words, size_bytes.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg", "n_words"))
+def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
+                         model: jax.Array, seq: jax.Array, id_hi: jax.Array,
+                         id_lo: jax.Array, checksum: jax.Array,
+                         n_words: int):
+    """Full engine pass over a batch of blocks.
+
+    Args:
+      cfg: static PassConfig of the selected pass.
+      fallback_cfg: static PassConfig for the uncompressed fallback, or
+        None when the fallback is disabled.
+      x: (B, N) int32 sign-extended i16 samples.
+      model: (B, N) int32 model state (ignored unless cfg uses MODEL).
+      seq: (B,) int32 per-block sequence numbers (written to headers).
+      id_hi, id_lo: (B,) uint32 identifier halves (bits 47..24 / 23..0).
+      checksum: (B,) uint32 XXH32 values (zeros when disabled).
+      n_words: static output word capacity.
+
+    Returns:
+      words (B, n_words) u32 big-endian frames, sizes (B,) i32,
+      fell_back (B,) bool.
+    """
+    B, N = x.shape
+    words, sizes = _encode_one_pass(cfg, x, model, seq, id_hi, id_lo,
+                                    checksum, n_words)
+
+    if fallback_cfg is not None:
+        # Probe criterion (cmp.c:362-372): the clamped-capacity run fails
+        # exactly when the frame exceeds the uncompressed frame size.
+        unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
+        fell_back = sizes > unc_size
+        fb_words, fb_sizes = _encode_one_pass(
+            fallback_cfg, x, model, jnp.zeros_like(seq), id_hi, id_lo,
+            checksum, n_words)
+        words = jnp.where(fell_back[:, None], fb_words, words)
+        sizes = jnp.where(fell_back, fb_sizes, sizes)
+    else:
+        fell_back = jnp.zeros((B,), bool)
+    return words, sizes, fell_back
+
+
+@functools.partial(jax.jit, static_argnames=("model_rate", "unsigned_model"))
+def model_update_step(x: jax.Array, model: jax.Array, seq: jax.Array,
+                      fell_back: jax.Array, model_rate: int,
+                      unsigned_model: bool):
+    """Post-pass model transition (reference cmp.c:296-312 + fallback reseed).
+
+    seq==0 (primary pass) seeds the model with the frame; later passes EMA-
+    update it; a fallback resets the chain and reseeds.  Per-block.
+    """
+    updated = preprocess.model_update(
+        x, model, jnp.asarray(model_rate, jnp.int32), unsigned_model)
+    seeded = jnp.where((seq == 0)[:, None], x, updated)
+    return jnp.where(fell_back[:, None], x, seeded)

@@ -1,0 +1,180 @@
+"""Device (JAX) encoder parity vs the host codec (itself oracle-verified).
+
+Runs on CPU-backed JAX (conftest pins the platform).  Frames produced by
+the batched device pipeline must byte-match per-block host contexts for
+every config, modulo the 48-bit timestamp identifier (bytes 8..14), whose
+draw order necessarily differs between B sequential contexts and one
+batched call; identifier semantics are covered by the oracle parity tests.
+"""
+
+import numpy as np
+import pytest
+
+from airs_compression_tpu import (
+    CmpContext,
+    CmpParams,
+    EncoderType,
+    Preprocessing,
+    decompress,
+)
+from airs_compression_tpu.format.dtypes import CmpType
+from airs_compression_tpu.models.stream import BatchCompressor
+from airs_compression_tpu.ops import bitpack, golomb, preprocess
+
+import jax.numpy as jnp
+
+
+def _mask_id(frame: bytes) -> bytes:
+    b = bytearray(frame)
+    b[8:14] = b"\x00" * 6
+    return bytes(b)
+
+
+CONFIGS = [
+    CmpParams(),
+    CmpParams(checksum_enabled=True),
+    CmpParams(primary_preprocessing=Preprocessing.DIFF,
+              primary_encoder_type=EncoderType.GOLOMB_ZERO,
+              primary_encoder_param=1),
+    CmpParams(primary_preprocessing=Preprocessing.DIFF,
+              primary_encoder_type=EncoderType.GOLOMB_ZERO,
+              primary_encoder_param=7, checksum_enabled=True),
+    CmpParams(primary_preprocessing=Preprocessing.IWT,
+              primary_encoder_type=EncoderType.GOLOMB_MULTI,
+              primary_encoder_param=5, primary_encoder_outlier=80),
+    CmpParams(primary_preprocessing=Preprocessing.NONE,
+              primary_encoder_type=EncoderType.GOLOMB_MULTI,
+              primary_encoder_param=0xFFFF,
+              primary_encoder_outlier=0xFFFFFFFF),
+    CmpParams(primary_preprocessing=Preprocessing.DIFF,
+              primary_encoder_type=EncoderType.GOLOMB_ZERO,
+              primary_encoder_param=2,
+              secondary_iterations=4,
+              secondary_preprocessing=Preprocessing.MODEL,
+              secondary_encoder_type=EncoderType.GOLOMB_MULTI,
+              secondary_encoder_param=3, secondary_encoder_outlier=60,
+              model_rate=10, checksum_enabled=True),
+    CmpParams(primary_preprocessing=Preprocessing.IWT,
+              primary_encoder_type=EncoderType.GOLOMB_ZERO,
+              primary_encoder_param=3,
+              uncompressed_fallback_enabled=True),
+]
+
+
+class TestOps:
+    def test_zigzag_roundtrip(self):
+        v = jnp.asarray(np.arange(-32768, 32768, 7, dtype=np.int32))
+        m = golomb.zigzag(v)
+        back = golomb.unzigzag(m)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(v))
+
+    def test_ilog2(self):
+        x = np.arange(1, 1 << 16, 13, dtype=np.uint32)
+        got = np.asarray(golomb.ilog2(jnp.asarray(x)))
+        exp = np.floor(np.log2(x)).astype(np.uint32)
+        np.testing.assert_array_equal(got, exp)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 7, 8, 64, 100, 257])
+    def test_iwt_device_matches_host(self, n):
+        from airs_compression_tpu.engine import host
+
+        rng = np.random.default_rng(n)
+        x = rng.integers(-32768, 32768, (4, n)).astype(np.int16)
+        dev = np.asarray(preprocess.iwt_forward(jnp.asarray(x, jnp.int32)))
+        for b in range(4):
+            np.testing.assert_array_equal(
+                dev[b].astype(np.int16), host.iwt_forward(x[b]),
+                err_msg=f"n={n} block {b}")
+        inv = np.asarray(preprocess.iwt_inverse(jnp.asarray(dev)))
+        np.testing.assert_array_equal(inv.astype(np.int16), x)
+
+    def test_pack_codes_simple(self):
+        # bytes 0x00..0x09 as five 16-bit codes (test_encoder.c:67-88)
+        lo = jnp.asarray([0x0001, 0x0203, 0x0405, 0x0607, 0x0809], jnp.uint32)
+        hi = jnp.zeros_like(lo)
+        lens = jnp.full((5,), 16, jnp.int32)
+        words, total = bitpack.pack_codes(hi, lo, lens, 4)
+        assert int(total) == 80
+        got = np.asarray(words).astype(">u4").tobytes()[:10]
+        assert got == bytes(range(10))
+
+    def test_pack_codes_unaligned(self):
+        # 1,3,48,7,12-bit codes crossing word boundaries
+        codes = [(0, 1, 1), (0, 0b101, 3), (0xABCD, 0x12345678, 48),
+                 (0, 0x55, 7), (0, 0xFFF, 12)]
+        hi = jnp.asarray([c[0] for c in codes], jnp.uint32)
+        lo = jnp.asarray([c[1] for c in codes], jnp.uint32)
+        ln = jnp.asarray([c[2] for c in codes], jnp.int32)
+        words, total = bitpack.pack_codes(hi, lo, ln, 4)
+        # reference via python big-int
+        acc, bits = 0, 0
+        for chi, clo, cl in codes:
+            acc = (acc << cl) | (((chi << 32) | clo) & ((1 << cl) - 1))
+            bits += cl
+        assert int(total) == bits
+        acc <<= (-bits) % 32
+        exp = acc.to_bytes(((bits + 31) // 32) * 4, "big")
+        got = np.asarray(words).astype(">u4").tobytes()[: len(exp)]
+        assert got == exp
+
+
+class TestDeviceVsHost:
+    @pytest.mark.parametrize("cfg_i", range(len(CONFIGS)))
+    @pytest.mark.parametrize("n", [1, 5, 64, 333, 1024])
+    def test_batch_matches_host(self, cfg_i, n):
+        params = CONFIGS[cfg_i]
+        B = 4
+        rng = np.random.default_rng(100 * cfg_i + n)
+        bc = BatchCompressor(params, B, n)
+        hosts = [CmpContext(params) for _ in range(B)]
+        for frame_i in range(4 if params.secondary_iterations else 2):
+            if cfg_i == 7 and frame_i % 2 == 0:
+                frames = rng.integers(0, 65536, (B, n)).astype(np.uint16)
+            else:
+                frames = (1100 + rng.normal(0, 6, (B, n))).astype(np.int64)
+                frames = (frames & 0xFFFF).astype(np.uint16)
+            dev_frames = bc.compress_frames(frames)
+            for b in range(B):
+                host_frame = hosts[b].compress_u16(frames[b])
+                assert _mask_id(dev_frames[b]) == _mask_id(host_frame), (
+                    f"cfg {cfg_i} n={n} frame {frame_i} block {b}")
+
+    def test_device_stream_decodes(self):
+        params = CONFIGS[6]
+        B, n = 3, 256
+        rng = np.random.default_rng(0)
+        bc = BatchCompressor(params, B, n)
+        per_chain = [b"" for _ in range(B)]
+        all_frames = [[] for _ in range(B)]
+        for _ in range(6):
+            frames = ((1000 + rng.normal(0, 5, (B, n))).astype(np.int64)
+                      & 0xFFFF).astype(np.uint16)
+            outs = bc.compress_frames(frames)
+            for b in range(B):
+                per_chain[b] += outs[b]
+                all_frames[b].append(frames[b])
+        for b in range(B):
+            dec, hdrs = decompress(per_chain[b], CmpType.U16)
+            np.testing.assert_array_equal(dec, np.concatenate(all_frames[b]))
+            assert [h.sequence_number for h in hdrs] == [0, 1, 2, 3, 4, 0]
+
+    def test_mixed_phase_batch(self):
+        """Chains at different sequence positions in one batch."""
+        params = CONFIGS[6]
+        B, n = 4, 128
+        rng = np.random.default_rng(1)
+        bc = BatchCompressor(params, B, n)
+        # desynchronize: manually reset one chain's sequence mid-stream
+        frames0 = ((1000 + rng.normal(0, 5, (B, n))).astype(np.int64)
+                   & 0xFFFF).astype(np.uint16)
+        bc.compress_frames(frames0)
+        bc.seq[2] = 0  # force chain 2 back to primary
+        frames1 = ((1000 + rng.normal(0, 5, (B, n))).astype(np.int64)
+                   & 0xFFFF).astype(np.uint16)
+        outs = bc.compress_frames(frames1)
+        from airs_compression_tpu import CmpHeader
+
+        hdrs = [CmpHeader.deserialize(o)[0] for o in outs]
+        assert [h.sequence_number for h in hdrs] == [1, 1, 0, 1]
+        assert hdrs[2].preprocessing == int(Preprocessing.DIFF)
+        assert hdrs[0].preprocessing == int(Preprocessing.MODEL)
