@@ -516,13 +516,22 @@ def compress_pass_host(params: CmpParams, secondary: bool, view: SampleView,
 
     if compressed_size <= dst_capacity:
         # Fast path: cannot overflow (flushes are monotone in written bytes)
-        if hdr.compressed_size != compressed_size:
-            hdr.compressed_size = compressed_size
-        frame = bytearray(hdr.serialize())
-        payload = pack_codes(codes, lens)
-        frame += payload
+        hdr.compressed_size = compressed_size
+        from .. import native
+
+        if native.native_available():
+            frame = bytearray(compressed_size)
+            frame[:hdr_size] = hdr.serialize()
+            end_bit = native.encode_residuals(
+                residuals, int(enc_t), enc_p, outlier, frame, hdr_size * 8)
+            assert end_bit == hdr_size * 8 + total_bits
+        else:
+            frame = bytearray(hdr.serialize())
+            frame += pack_codes(codes, lens)
+            frame += b"\x00" * (compressed_size - len(frame) - csum_bytes)
         if params.checksum_enabled:
-            frame += cmp_checksum(view.samples_u16).to_bytes(4, "big")
+            frame[compressed_size - 4:compressed_size] = \
+                cmp_checksum(view.samples_u16).to_bytes(4, "big")
         n_upd = _update_model_full(view.num_samples)
         return PassResult(bytes(frame), CmpErrorCode.NO_ERROR, n_upd)
 
@@ -688,36 +697,51 @@ def decode_block(frame: bytes, model_i16: np.ndarray | None = None,
     enc_t = EncoderType(hdr.encoder_type)
     prep = Preprocessing(hdr.preprocessing)
 
-    br = BitReader(block, hdr_size * 8)
-    if enc_t == EncoderType.UNCOMPRESSED:
-        # raw 16-bit residuals, no zigzag map (encoder.c:331-333)
-        raw = np.fromiter((br.read(16) for _ in range(n_samples)),
-                          dtype=np.uint16, count=n_samples)
-        residuals = raw.view(np.int16)
+    if enc_t != EncoderType.UNCOMPRESSED and not (1 <= hdr.encoder_param <= 0xFFFF):
+        raise CmpError(CmpErrorCode.PARAMS_INVALID, "bad Golomb parameter in header")
+
+    from .. import native
+
+    if native.native_available():
+        vals, end_bit = native.decode_mapped(
+            bytes(block), hdr_size * 8, n_samples, int(enc_t),
+            hdr.encoder_param, hdr.encoder_outlier)
+        if vals is None:
+            raise CmpError(CmpErrorCode.INT_BITSTREAM, "malformed payload")
+        br = BitReader(block, end_bit)
+        if enc_t == EncoderType.UNCOMPRESSED:
+            residuals = vals.view(np.int16)
+        else:
+            residuals = zigzag_unmap(vals)
     else:
-        g_par = hdr.encoder_param
-        if not (1 <= g_par <= 0xFFFF):
-            raise CmpError(CmpErrorCode.PARAMS_INVALID, "bad Golomb parameter in header")
-        g_log2 = g_par.bit_length() - 1
-        outlier = hdr.encoder_outlier
-        out = np.empty(n_samples, dtype=np.uint16)
-        if enc_t == EncoderType.GOLOMB_ZERO:
-            for i in range(n_samples):
-                v = _golomb_decode_one(br, g_par, g_log2)
-                if v == 0:  # escape: raw 16-bit mapped value follows
-                    out[i] = br.read(16)
-                else:
-                    out[i] = v - 1
-        else:  # GOLOMB_MULTI
-            for i in range(n_samples):
-                v = _golomb_decode_one(br, g_par, g_log2)
-                if v >= outlier:
-                    level = v - outlier
-                    diff = br.read((level + 1) * 2)
-                    out[i] = outlier + diff
-                else:
-                    out[i] = v
-        residuals = zigzag_unmap(out)
+        br = BitReader(block, hdr_size * 8)
+        if enc_t == EncoderType.UNCOMPRESSED:
+            # raw 16-bit residuals, no zigzag map (encoder.c:331-333)
+            raw = np.fromiter((br.read(16) for _ in range(n_samples)),
+                              dtype=np.uint16, count=n_samples)
+            residuals = raw.view(np.int16)
+        else:
+            g_par = hdr.encoder_param
+            g_log2 = g_par.bit_length() - 1
+            outlier = hdr.encoder_outlier
+            out = np.empty(n_samples, dtype=np.uint16)
+            if enc_t == EncoderType.GOLOMB_ZERO:
+                for i in range(n_samples):
+                    v = _golomb_decode_one(br, g_par, g_log2)
+                    if v == 0:  # escape: raw 16-bit mapped value follows
+                        out[i] = br.read(16)
+                    else:
+                        out[i] = v - 1
+            else:  # GOLOMB_MULTI
+                for i in range(n_samples):
+                    v = _golomb_decode_one(br, g_par, g_log2)
+                    if v >= outlier:
+                        level = v - outlier
+                        diff = br.read((level + 1) * 2)
+                        out[i] = outlier + diff
+                    else:
+                        out[i] = v
+            residuals = zigzag_unmap(out)
 
     samples = preprocess_inverse(prep, residuals,
                                  model_i16 if prep == Preprocessing.MODEL else None)

@@ -39,7 +39,7 @@ from ..ops.encode import (
 )
 from ..utils.xxh32 import cmp_checksum
 
-__all__ = ["BatchCompressor"]
+__all__ = ["BatchCompressor", "BatchDecompressor"]
 
 
 class BatchCompressor:
@@ -171,3 +171,61 @@ class BatchCompressor:
                 frame[8:14] = int(ident).to_bytes(6, "big")
             frames_out.append(bytes(frame))
         return frames_out
+
+
+class BatchDecompressor:
+    """Device decode of lockstep chains: B frames per call, model carried.
+
+    Mirrors :class:`BatchCompressor` on the decode side.  Frames in one
+    call must share their pass configuration (all primary or all the same
+    secondary pass) — the natural state of lockstep chains; the generic
+    per-block host decoder (engine/decode.py) covers arbitrary streams.
+    """
+
+    def __init__(self, params: CmpParams, batch: int, n_samples: int,
+                 cmp_type: CmpType = CmpType.U16):
+        params.validate()
+        self.params = params
+        self.batch = batch
+        self.n_samples = n_samples
+        self.cmp_type = cmp_type
+        unsigned = cmp_type is CmpType.U16
+        self.primary_cfg = make_pass_config(params, False, unsigned)
+        self.secondary_cfg = (make_pass_config(params, True, unsigned)
+                              if params.secondary_iterations else None)
+        self.model = jnp.zeros((batch, n_samples), jnp.int32)
+        self.seq = 0
+
+    def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
+        """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""
+        from ..format.header import CmpHeader
+        from ..ops.decode import decode_blocks_device
+
+        if len(frames) != self.batch:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
+        hdrs = [CmpHeader.deserialize(f)[0] for f in frames]
+        seqs = {h.sequence_number for h in hdrs}
+        if len(seqs) != 1:
+            raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH,
+                           "mixed sequence numbers in one decode batch")
+        secondary = hdrs[0].sequence_number > 0
+        cfg = self.secondary_cfg if secondary else self.primary_cfg
+        if cfg is None:
+            raise CmpError(CmpErrorCode.PARAMS_INVALID)
+        n_words = max((len(f) + 3) // 4 for f in frames) + 2
+        words = np.zeros((self.batch, n_words), dtype=np.uint32)
+        for b, f in enumerate(frames):
+            padded = f + b"\x00" * ((-len(f)) % 4)
+            words[b, : len(padded) // 4] = np.frombuffer(padded, dtype=">u4")
+        samples, _ = decode_blocks_device(
+            cfg, jnp.asarray(words), self.model, self.n_samples)
+        # model transition identical to the encoder's
+        if self.params.model_is_needed():
+            seq_arr = jnp.full((self.batch,),
+                               hdrs[0].sequence_number, jnp.int32)
+            self.model = model_update_step(
+                samples, self.model, seq_arr,
+                jnp.zeros((self.batch,), bool),
+                self.params.model_rate, self.cmp_type is CmpType.U16)
+        out = np.asarray(samples).astype(np.int32).astype(np.uint16)
+        return out

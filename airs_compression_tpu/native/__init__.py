@@ -1,0 +1,124 @@
+"""Native host runtime: lazy-built C++ core with pure-Python fallback.
+
+Builds airs_host.cpp with the system compiler on first use (cached as a
+shared library next to the source); exposes the fast scalar pack/decode
+and XXH32 entry points through ctypes.  Every function has a pure-Python
+fallback in engine/host.py and utils/xxh32.py, so the package works even
+without a toolchain — the native path is the CLI/host performance tier.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["get_lib", "native_available", "encode_residuals",
+           "decode_mapped", "checksum_u16"]
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "airs_host.cpp"
+_LIB_PATH = _DIR / "build" / "libairs_host.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> "pathlib.Path | None":
+    _LIB_PATH.parent.mkdir(exist_ok=True)
+    if (_LIB_PATH.exists()
+            and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
+        return _LIB_PATH
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-fPIC", "-shared", "-std=c++17",
+                 "-o", str(_LIB_PATH), str(_SRC)],
+                check=True, capture_output=True, timeout=120)
+            return _LIB_PATH
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("AIRS_NO_NATIVE"):
+            return None
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            return None
+        lib.airs_xxh32.restype = ctypes.c_uint32
+        lib.airs_xxh32.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_uint32]
+        lib.airs_checksum_u16.restype = ctypes.c_uint32
+        lib.airs_checksum_u16.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                          ctypes.c_uint32]
+        lib.airs_encode_residuals.restype = ctypes.c_uint64
+        lib.airs_encode_residuals.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
+            ctypes.c_uint64]
+        lib.airs_decode_mapped.restype = ctypes.c_uint64
+        lib.airs_decode_mapped.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def encode_residuals(residuals_i16: np.ndarray, enc_type: int, g_par: int,
+                     outlier: int, dst: bytearray, start_bit: int) -> int:
+    """Pack residuals into ``dst`` (zeroed, sized by caller) at start_bit.
+
+    Returns the end bit position.  Caller must have checked
+    native_available().
+    """
+    lib = get_lib()
+    res = np.ascontiguousarray(residuals_i16, dtype=np.int16)
+    buf = (ctypes.c_uint8 * len(dst)).from_buffer(dst)
+    return int(lib.airs_encode_residuals(
+        res.ctypes.data_as(ctypes.c_void_p), res.size, enc_type, g_par,
+        outlier, ctypes.cast(buf, ctypes.c_void_p), start_bit))
+
+
+def decode_mapped(src: bytes, start_bit: int, n: int, enc_type: int,
+                  g_par: int, outlier: int):
+    """Decode n mapped/raw 16-bit values; returns (values, end_bit) or
+    (None, -1) on malformed input."""
+    lib = get_lib()
+    out = np.empty(n, dtype=np.uint16)
+    end = int(lib.airs_decode_mapped(
+        src, len(src) * 8, start_bit, n, enc_type, g_par, outlier,
+        out.ctypes.data_as(ctypes.c_void_p)))
+    if end == (1 << 64) - 1:
+        return None, -1
+    return out, end
+
+
+def checksum_u16(samples_u16: np.ndarray, seed: int) -> int:
+    lib = get_lib()
+    arr = np.ascontiguousarray(samples_u16, dtype=np.uint16)
+    return int(lib.airs_checksum_u16(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.size, seed))

@@ -1,0 +1,299 @@
+// Native host-side codec core for airs_compression_tpu.
+//
+// The TPU owns the batched data path (ops/); this library is the host
+// runtime's fast path: the CLI and the host codec use it for scalar
+// encode/pack, sequential Golomb decode, and XXH32 checksums, with a pure
+// Python fallback when the shared library is unavailable.
+//
+// The bitstream semantics implemented here are the AIRSPACE format's
+// (MSB-first big-endian, zigzag + Golomb ZERO/MULTI with escapes) as
+// specified by the reference encoder (lib/compress/encoder.c:303-378,
+// lib/common/bitstream_writer.h) — written from scratch against the same
+// format description used by engine/host.py, and differential-tested
+// against both that module and the reference C oracle.
+//
+// Exposed via a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+// XXH32 (public algorithm, xxHash spec) — checksum of sample bytes.
+// --------------------------------------------------------------------------
+
+static inline uint32_t rotl32(uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+}
+
+static const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                      P4 = 668265263u, P5 = 374761393u;
+
+static inline uint32_t read32le(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    v = __builtin_bswap32(v);
+#endif
+    return v;
+}
+
+uint32_t airs_xxh32(const uint8_t* data, uint64_t len, uint32_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+        const uint8_t* limit = end - 16;
+        do {
+            v1 = rotl32(v1 + read32le(p) * P2, 13) * P1; p += 4;
+            v2 = rotl32(v2 + read32le(p) * P2, 13) * P1; p += 4;
+            v3 = rotl32(v3 + read32le(p) * P2, 13) * P1; p += 4;
+            v4 = rotl32(v4 + read32le(p) * P2, 13) * P1; p += 4;
+        } while (p <= limit);
+        h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    while (p + 4 <= end) {
+        h = rotl32(h + read32le(p) * P3, 17) * P4;
+        p += 4;
+    }
+    while (p < end) {
+        h = rotl32(h + (*p) * P5, 11) * P1;
+        ++p;
+    }
+    h ^= h >> 15; h *= P2;
+    h ^= h >> 13; h *= P3;
+    h ^= h >> 16;
+    return h;
+}
+
+// Checksum of n u16 samples as big-endian byte pairs (AIRSPACE convention,
+// reference lib/common/header.c:137-163).
+uint32_t airs_checksum_u16(const uint16_t* samples, uint64_t n, uint32_t seed) {
+    // stream the BE conversion through a small stack buffer
+    uint8_t buf[4096];
+    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    uint64_t total = n * 2;
+    uint64_t consumed = 0;
+    uint32_t h;
+    // big chunks of 16 bytes through the lanes
+    uint64_t i = 0;
+    bool used_lanes = total >= 16;
+    while (i + 8 <= n) {  // 8 samples = 16 bytes per stripe
+        for (int k = 0; k < 8; ++k) {
+            uint16_t s = samples[i + k];
+            buf[2 * k] = (uint8_t)(s >> 8);
+            buf[2 * k + 1] = (uint8_t)s;
+        }
+        v1 = rotl32(v1 + read32le(buf) * P2, 13) * P1;
+        v2 = rotl32(v2 + read32le(buf + 4) * P2, 13) * P1;
+        v3 = rotl32(v3 + read32le(buf + 8) * P2, 13) * P1;
+        v4 = rotl32(v4 + read32le(buf + 12) * P2, 13) * P1;
+        i += 8;
+        consumed += 16;
+    }
+    if (used_lanes)
+        h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    else
+        h = seed + P5;
+    h += (uint32_t)total;
+    // tail samples (< 8)
+    uint8_t tail[16];
+    int t = 0;
+    for (; i < n; ++i) {
+        uint16_t s = samples[i];
+        tail[t++] = (uint8_t)(s >> 8);
+        tail[t++] = (uint8_t)s;
+    }
+    int ti = 0;
+    while (ti + 4 <= t) {
+        h = rotl32(h + read32le(tail + ti) * P3, 17) * P4;
+        ti += 4;
+    }
+    while (ti < t) {
+        h = rotl32(h + tail[ti] * P5, 11) * P1;
+        ++ti;
+    }
+    h ^= h >> 15; h *= P2;
+    h ^= h >> 13; h *= P3;
+    h ^= h >> 16;
+    return h;
+}
+
+// --------------------------------------------------------------------------
+// Bit writer (MSB-first big-endian), buffer assumed large enough by caller.
+// --------------------------------------------------------------------------
+
+struct BitWriter {
+    uint8_t* buf;
+    uint64_t bitpos;
+};
+
+static inline void put_bits(BitWriter& bw, uint32_t value, unsigned nbits) {
+    // write nbits of value (MSB-first) at bw.bitpos
+    uint64_t pos = bw.bitpos;
+    bw.bitpos += nbits;
+    while (nbits) {
+        unsigned byte = (unsigned)(pos >> 3);
+        unsigned avail = 8 - (unsigned)(pos & 7);
+        unsigned take = nbits < avail ? nbits : avail;
+        unsigned shift = avail - take;
+        uint8_t bits = (uint8_t)((value >> (nbits - take)) & ((1u << take) - 1));
+        bw.buf[byte] |= (uint8_t)(bits << shift);
+        pos += take;
+        nbits -= take;
+    }
+}
+
+static inline unsigned ilog2_u32(uint32_t x) {
+    return 31 - (unsigned)__builtin_clz(x);
+}
+
+static inline void golomb_put(BitWriter& bw, uint32_t value, uint32_t g_par,
+                              unsigned g_log2, uint32_t cutoff) {
+    if (value < cutoff) {
+        put_bits(bw, value, g_log2 + 1);
+    } else {
+        uint32_t group = (value - cutoff) / g_par;
+        uint32_t rem = (value - cutoff) - group * g_par;
+        unsigned len = g_log2 + 1;
+        uint32_t cw = (((1u << group) - 1u) << (len + 1)) + (cutoff << 1) + rem;
+        put_bits(bw, cw, len + 1 + group);
+    }
+}
+
+// Encode n int16 residuals starting at start_bit in dst (dst must be
+// zeroed and large enough: worst case 48 bits/sample).  enc_type:
+// 0 = uncompressed, 1 = Golomb zero-escape, 2 = Golomb multi-escape.
+// Returns the end bit position.
+uint64_t airs_encode_residuals(const int16_t* residuals, uint64_t n,
+                               uint32_t enc_type, uint32_t g_par,
+                               uint32_t outlier, uint8_t* dst,
+                               uint64_t start_bit) {
+    BitWriter bw{dst, start_bit};
+    if (enc_type == 0) {
+        for (uint64_t i = 0; i < n; ++i)
+            put_bits(bw, (uint16_t)residuals[i], 16);
+        return bw.bitpos;
+    }
+    unsigned g_log2 = ilog2_u32(g_par);
+    uint32_t cutoff = (2u << g_log2) - g_par;
+    if (enc_type == 1) {
+        for (uint64_t i = 0; i < n; ++i) {
+            int32_t v = residuals[i];
+            uint32_t mapped = (uint16_t)((v << 1) ^ (v >> 15));
+            if (mapped < outlier)
+                golomb_put(bw, mapped + 1, g_par, g_log2, cutoff);
+            else
+                put_bits(bw, mapped, g_log2 + 1 + 16);
+        }
+    } else {
+        for (uint64_t i = 0; i < n; ++i) {
+            int32_t v = residuals[i];
+            uint32_t mapped = (uint16_t)((v << 1) ^ (v >> 15));
+            if (mapped < outlier) {
+                golomb_put(bw, mapped, g_par, g_log2, cutoff);
+            } else {
+                uint32_t diff = mapped - outlier;
+                unsigned level = diff < 4 ? 0 : ilog2_u32(diff) / 2;
+                golomb_put(bw, outlier + level, g_par, g_log2, cutoff);
+                put_bits(bw, diff, (level + 1) * 2);
+            }
+        }
+    }
+    return bw.bitpos;
+}
+
+// --------------------------------------------------------------------------
+// Bit reader + sequential Golomb decode (the decoder the reference lacks).
+// --------------------------------------------------------------------------
+
+struct BitReader {
+    const uint8_t* buf;
+    uint64_t bitpos;
+    uint64_t bitlen;
+};
+
+static inline uint32_t peek_bit(BitReader& br) {
+    uint64_t p = br.bitpos;
+    return (br.buf[p >> 3] >> (7 - (p & 7))) & 1u;
+}
+
+static inline uint32_t get_bits(BitReader& br, unsigned nbits) {
+    uint32_t v = 0;
+    uint64_t pos = br.bitpos;
+    br.bitpos += nbits;
+    while (nbits) {
+        unsigned byte = (unsigned)(pos >> 3);
+        unsigned avail = 8 - (unsigned)(pos & 7);
+        unsigned take = nbits < avail ? nbits : avail;
+        unsigned shift = avail - take;
+        v = (v << take) | ((br.buf[byte] >> shift) & ((1u << take) - 1));
+        pos += take;
+        nbits -= take;
+    }
+    return v;
+}
+
+// Decode n codewords from src starting at start_bit; writes the
+// zigzag-mapped (or raw, for uncompressed mode) 16-bit values to out.
+// Returns the end bit position, or UINT64_MAX on malformed input.
+uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
+                            uint64_t start_bit, uint64_t n, uint32_t enc_type,
+                            uint32_t g_par, uint32_t outlier, uint16_t* out) {
+    BitReader br{src, start_bit, src_bits};
+    const uint64_t FAIL = ~0ull;
+    if (enc_type == 0) {
+        if (start_bit + 16 * n > src_bits) return FAIL;
+        for (uint64_t i = 0; i < n; ++i)
+            out[i] = (uint16_t)get_bits(br, 16);
+        return br.bitpos;
+    }
+    unsigned g_log2 = ilog2_u32(g_par);
+    uint32_t cutoff = (2u << g_log2) - g_par;
+    for (uint64_t i = 0; i < n; ++i) {
+        // unary quotient
+        uint32_t q = 0;
+        for (;;) {
+            if (br.bitpos >= br.bitlen) return FAIL;
+            if (!get_bits(br, 1)) break;
+            if (++q > 32) return FAIL;
+        }
+        uint32_t r = 0;
+        if (g_log2) {
+            if (br.bitpos + g_log2 > br.bitlen) return FAIL;
+            r = get_bits(br, g_log2);
+        }
+        if (r >= cutoff) {
+            if (br.bitpos + 1 > br.bitlen) return FAIL;
+            r = ((r << 1) | get_bits(br, 1)) - cutoff;
+        }
+        uint32_t v = q * g_par + r;
+        if (enc_type == 1) {  // zero escape
+            if (v == 0) {
+                if (br.bitpos + 16 > br.bitlen) return FAIL;
+                out[i] = (uint16_t)get_bits(br, 16);
+            } else {
+                out[i] = (uint16_t)(v - 1);
+            }
+        } else {  // multi escape
+            if (v >= outlier) {
+                uint32_t level = v - outlier;
+                unsigned nb = (level + 1) * 2;
+                if (nb > 32 || br.bitpos + nb > br.bitlen) return FAIL;
+                uint32_t diff = get_bits(br, nb);
+                out[i] = (uint16_t)(outlier + diff);
+            } else {
+                out[i] = (uint16_t)v;
+            }
+        }
+    }
+    return br.bitpos;
+}
+
+}  // extern "C"

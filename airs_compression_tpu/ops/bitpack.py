@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_codes", "exclusive_cumsum"]
+__all__ = ["pack_codes", "pack_codes_tree", "exclusive_cumsum"]
 
 _U32 = jnp.uint32
 
@@ -122,3 +122,162 @@ def pack_codes(hi: jax.Array, lo: jax.Array, lens: jax.Array, n_words: int):
     else:
         words = _one_block(w0, pa, pb, pc)
     return words, total_bits
+
+
+# ---------------------------------------------------------------------------
+# Doubling-tree packer — the TPU-fast path.
+#
+# pack_codes above is scatter-free but inversion-heavy: assembling each
+# output word needs searchsorted + gathers, and TPU gathers run at ~100ns
+# per element (measured), which caps it at a few MB/s.  The tree packer
+# below uses only shifts, selects, and concatenations — pure VPU ops:
+#
+#   * level 0: each code is left-justified in its own C0-word buffer;
+#   * each level pairwise-concatenates adjacent bitstreams:
+#       out = A | (B >> lenA)
+#     where the variable word-granular part of the shift (lenA / 32) is
+#     performed as a barrel shifter — log2(C) CONDITIONAL CONSTANT word
+#     shifts — and the bit-granular part (lenA % 32) is one per-row
+#     variable funnel shift (elementwise on the VPU);
+#   * capacities grow with the worst-case bit width per level and are
+#     clamped, so buffers track the config's actual entropy bound.
+#
+# After log2(K) levels the single remaining buffer IS the packed stream.
+# No gather, no scatter, no sort, no searchsorted anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _word_shift(buf: jax.Array, s: int) -> jax.Array:
+    """Shift words toward higher indices by static s, zero-filling."""
+    if s == 0:
+        return buf
+    pad = jnp.zeros(buf.shape[:-1] + (s,), buf.dtype)
+    return jnp.concatenate([pad, buf[..., :-s]], axis=-1)
+
+
+_LANE_SWITCH = 128  # move the word axis into lanes once it is this wide
+
+
+def _merge_level_list(words, ln, C_out):
+    """One merge level in list-of-(B.., M)-planes representation.
+
+    ``words`` is a list of C uint32 arrays, plane j holding word j of every
+    group's buffer; codes/groups live in the (large, lane-mapped) minor
+    array axis, so every operation below is a full-width VPU op.  The
+    barrel word-shift becomes a trace-time list rotation guarded by
+    per-pair select masks.
+    """
+    C = len(words)
+    A = [w[..., 0::2] for w in words]
+    Bw = [w[..., 1::2] for w in words]
+    lenA = ln[..., 0::2]
+    lenB = ln[..., 1::2]
+    zeros = jnp.zeros_like(A[0])
+    A_ext = A + [zeros] * (C_out - C)
+    B_ext = Bw + [zeros] * (C_out - C)
+    q = lenA >> 5
+    t = 0
+    while (1 << t) <= C:
+        s = 1 << t
+        shifted = [zeros] * min(s, C_out) + B_ext[: max(C_out - s, 0)]
+        bit = ((q >> t) & 1) == 1
+        B_ext = [jnp.where(bit, sh, orig)
+                 for sh, orig in zip(shifted, B_ext)]
+        t += 1
+    r = (lenA & 31).astype(jnp.uint32)
+    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
+    rnz = r != 0
+    Bp = [zeros] + B_ext[:-1]
+    B_fin = [jnp.where(rnz, (w >> jnp.where(rnz, r, jnp.uint32(0)))
+                       | jnp.where(rs == 0, jnp.uint32(0), p << rs), w)
+             for w, p in zip(B_ext, Bp)]
+    out = [a | b for a, b in zip(A_ext, B_fin)]
+    return out, lenA + lenB
+
+
+def _merge_level_array(buf, ln, C_out):
+    """One merge level in (B.., M, C) representation (C lane-mapped)."""
+    C = buf.shape[-1]
+    A = buf[..., 0::2, :]
+    B = buf[..., 1::2, :]
+    lenA = ln[..., 0::2]
+    lenB = ln[..., 1::2]
+    padA = jnp.zeros(A.shape[:-1] + (C_out - C,), jnp.uint32)
+    A_ext = jnp.concatenate([A, padA], axis=-1)
+    B_ext = jnp.concatenate([B, padA], axis=-1)
+    q = (lenA >> 5)[..., None]
+    t = 0
+    while (1 << t) <= C:
+        s = 1 << t
+        B_sh = _word_shift(B_ext, min(s, C_out))
+        B_ext = jnp.where((q >> t) & 1 == 1, B_sh, B_ext)
+        t += 1
+    r = (lenA & 31)[..., None].astype(jnp.uint32)
+    Bp = _word_shift(B_ext, 1)
+    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
+    B_fin = jnp.where(r == 0, B_ext,
+                      (B_ext >> r) | jnp.where(rs == 0, jnp.uint32(0),
+                                               Bp << rs))
+    return A_ext | B_fin, lenA + lenB
+
+
+def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,
+                    worst_bits: int):
+    """Pack (..., K) codes (K a power of two) into a big-endian word stream.
+
+    Args:
+      hi, lo: uint32 codeword bits (hi = bits above 32), "clean".
+      lens: int32 bit lengths in [0, worst_bits]; zero-length codes are
+        no-ops (used for padding K to a power of two).
+      worst_bits: static per-code maximum bit length (<= 64).
+
+    Returns:
+      (words: uint32 (..., C) left-justified stream, total_bits: int32
+      (...,)); C = the static capacity for K codes of worst_bits bits.
+
+    Layout strategy (the part that makes this fast on TPU): early levels
+    keep each buffer word as its own (..., M) plane so the big code axis
+    stays lane-mapped; once buffers are >= 128 words the word axis itself
+    is wide enough for the lanes and the representation switches to a
+    single (..., M, C) array.
+    """
+    K = lens.shape[-1]
+    assert K & (K - 1) == 0, "K must be a power of two (pad with len-0 codes)"
+    ln = lens.astype(jnp.int32)
+
+    # level 0: left-justify every code
+    if worst_bits <= 32:
+        s = jnp.clip(32 - ln, 0, 31).astype(jnp.uint32)
+        words = [jnp.where(ln > 0, lo << s, jnp.uint32(0))]
+    else:
+        sh_hi = jnp.clip(ln - 32, 0, 31).astype(jnp.uint32)   # len > 32
+        sh_lo = jnp.clip(32 - ln, 0, 31).astype(jnp.uint32)   # len <= 32
+        w0 = jnp.where(ln > 32,
+                       (hi << (jnp.uint32(32) - sh_hi)) | (lo >> sh_hi),
+                       jnp.where(ln > 0, lo << sh_lo, jnp.uint32(0)))
+        w0 = jnp.where(ln == 32, lo, w0)
+        sh_w1 = jnp.clip(64 - ln, 0, 31).astype(jnp.uint32)
+        w1 = jnp.where(ln > 32, lo << sh_w1, jnp.uint32(0))
+        words = [w0, w1]
+
+    m = K
+    level_bits = worst_bits
+    # phase 1: list-of-planes while the word axis is narrow
+    while m > 1 and min(2 * len(words),
+                        (2 * level_bits + 31) // 32 + 2) < _LANE_SWITCH:
+        level_bits *= 2
+        C_out = min(2 * len(words), (level_bits + 31) // 32 + 2)
+        words, ln = _merge_level_list(words, ln, C_out)
+        m //= 2
+
+    if m == 1:
+        return jnp.stack(words, axis=-1)[..., 0, :], ln[..., 0]
+
+    # phase 2: lane-mapped word axis
+    buf = jnp.stack(words, axis=-1)
+    while m > 1:
+        level_bits *= 2
+        C_out = min(2 * buf.shape[-1], (level_bits + 31) // 32 + 2)
+        buf, ln = _merge_level_array(buf, ln, C_out)
+        m //= 2
+    return buf[..., 0, :], ln[..., 0]

@@ -1,0 +1,148 @@
+"""On-device block decoder — the capability the reference never implemented.
+
+Golomb decoding is inherently bit-serial within a stream (each codeword's
+position depends on all previous lengths), so the device decoder
+parallelizes ACROSS blocks: a ``lax.scan`` over sample steps advances B
+independent bit cursors at once.  Each step is elementwise VPU math —
+count-leading-ones, funnel-shifted 64-bit windows, closed-form Golomb /
+escape handling (inverting encoder.c:303-378) — plus one two-word gather
+per block to refill the window.
+
+The decoded residual stream then runs through the batched inverse
+preprocessors (ops/preprocess.py): wraparound cumsum for DIFF, inverse
+lifting for IWT, model add for MODEL.
+
+Throughput scales with the number of concurrent blocks (the only lever a
+sequential entropy code allows); single-stream decode latency is the
+format's price.  Cross-checked bit-exactly against the host decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import golomb, preprocess
+from .encode import PassConfig
+
+__all__ = ["decode_blocks_device"]
+
+_U32 = jnp.uint32
+
+
+def _clz32(x: jax.Array) -> jax.Array:
+    """Count leading zeros of uint32 (32 for x == 0)."""
+    return jnp.where(x == 0, _U32(32), _U32(31) - golomb.ilog2_u32(x))
+
+
+def _window64(words: jax.Array, bitpos: jax.Array):
+    """(hi, lo) 64-bit window starting at ``bitpos`` for each block.
+
+    ``words`` is (B, W) uint32; ``bitpos`` is (B,) int32.  Three words are
+    gathered per block and funnel-shifted so the window's MSB is the bit
+    at ``bitpos``.
+    """
+    W = words.shape[-1]
+    wi = bitpos >> 5
+    r = (bitpos & 31).astype(_U32)
+
+    def take(i):
+        idx = jnp.clip(i, 0, W - 1)[..., None]
+        return jnp.take_along_axis(words, idx, axis=-1)[..., 0]
+
+    w0, w1, w2 = take(wi), take(wi + 1), take(wi + 2)
+    rs = jnp.where(r == 0, _U32(0), _U32(32) - r)
+    sh = lambda a, b: jnp.where(r == 0, a, (a << r) | jnp.where(
+        rs == 0, _U32(0), b >> rs))
+    return sh(w0, w1), sh(w1, w2)
+
+
+def _take_bits(hi: jax.Array, lo: jax.Array, start, count):
+    """Extract ``count`` bits of the 64-bit window starting at ``start``
+    (MSB-relative); count in [0, 32].  All operands per-lane dynamic."""
+    # value = (window << start) >> (64 - count), in u32 pieces
+    s = start.astype(_U32)
+    rs = jnp.where(s == 0, _U32(0), _U32(32) - s)
+    top = jnp.where(s == 0, hi,
+                    jnp.where(s >= 32,
+                              lo << jnp.where(s >= 32, s - _U32(32), _U32(0)),
+                              (hi << s) | jnp.where(rs == 0, _U32(0),
+                                                    lo >> rs)))
+    c = count.astype(_U32)
+    return jnp.where(c == 0, _U32(0),
+                     top >> jnp.where(c == 0, _U32(0), _U32(32) - c))
+
+
+def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array):
+    """Decode one codeword per block from its 64-bit window.
+
+    Returns (mapped_or_raw_value: uint32, consumed_bits: int32).
+    """
+    if cfg.enc_type == 0:  # UNCOMPRESSED: raw 16-bit residual
+        v = hi >> _U32(16)
+        return v, jnp.full(hi.shape, 16, jnp.int32)
+
+    g_par = cfg.g_par
+    g_log2 = int(g_par).bit_length() - 1
+    cutoff = (2 << g_log2) - g_par
+
+    # unary quotient: leading ones
+    q = _clz32(~hi).astype(jnp.int32)
+    # remainder: g_log2 bits after the terminating zero
+    r0 = _take_bits(hi, lo, q + 1, jnp.full(q.shape, g_log2, jnp.int32))
+    long_form = r0 >= _U32(cutoff)
+    extra = _take_bits(hi, lo, q + 1 + g_log2, jnp.where(long_form, 1, 0))
+    r_long = ((r0 << _U32(1)) | extra) - _U32(cutoff)
+    rem = jnp.where(long_form, r_long, r0)
+    v = q.astype(_U32) * _U32(g_par) + rem
+    consumed = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
+
+    if cfg.enc_type == 1:  # GOLOMB_ZERO
+        esc = v == 0
+        raw = _take_bits(hi, lo, consumed, jnp.where(esc, 16, 0))
+        mapped = jnp.where(esc, raw, v - _U32(1))
+        consumed = consumed + jnp.where(esc, 16, 0)
+        return mapped, consumed
+
+    if cfg.enc_type == 2:  # GOLOMB_MULTI
+        esc = v >= _U32(cfg.outlier)
+        level = jnp.where(esc, v - _U32(cfg.outlier), _U32(0))
+        nbits = ((level + _U32(1)) * _U32(2)).astype(jnp.int32)
+        diff = _take_bits(hi, lo, consumed, jnp.where(esc, nbits, 0))
+        mapped = jnp.where(esc, _U32(cfg.outlier) + diff, v)
+        consumed = consumed + jnp.where(esc, nbits, 0)
+        return mapped, consumed
+
+    raise ValueError(f"unknown encoder type {cfg.enc_type}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def decode_blocks_device(cfg: PassConfig, words: jax.Array, model: jax.Array,
+                         n_samples: int):
+    """Decode (B, W) u32 frames (header included) -> (B, N) int32 samples.
+
+    All blocks must share ``cfg`` (lockstep chains, mirroring the batched
+    encoder); ``model`` is consulted only for MODEL preprocessing.
+    Returns (samples (B, N) int32 sign-extended i16, end_bitpos (B,) i32).
+    """
+    B = words.shape[0]
+    init_pos = jnp.full((B,), cfg.hdr_bits, jnp.int32)
+
+    def step(pos, _):
+        hi, lo = _window64(words, pos)
+        val, consumed = _decode_one(cfg, hi, lo)
+        return pos + consumed, val
+
+    end_pos, vals = jax.lax.scan(step, init_pos, None, length=n_samples)
+    vals = jnp.moveaxis(vals, 0, -1)  # (B, N)
+
+    if cfg.enc_type == 0:
+        residuals = ((vals.astype(jnp.int32) & 0xFFFF) ^ 0x8000) - 0x8000
+    else:
+        residuals = golomb.unzigzag(vals)
+    samples = preprocess.preprocess_inverse(
+        cfg.prep, residuals,
+        model if cfg.prep == 3 else None)
+    return samples, end_pos

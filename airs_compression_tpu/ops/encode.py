@@ -99,36 +99,44 @@ def worst_case_words(cfg: PassConfig, n: int) -> int:
     return (bits + 31) // 32 + 1
 
 
-def _header_codes(cfg: PassConfig, compressed_size, original_size, id_hi,
+def _header_words(cfg: PassConfig, compressed_size, original_size, id_hi,
                   id_lo, seq):
-    """Per-block header as (hi, lo, len) code arrays (layout:
-    cmp_header.h:26-51; serialization header.c:24-67)."""
-    B = compressed_size.shape[0]
-    z = jnp.zeros((B,), _U32)
-    version = jnp.full((B,), (1 << 15) | CMP_VERSION_NUMBER, _U32)
+    """Per-block header directly as big-endian u32 words.
+
+    The header layout is fixed (cmp_header.h:26-51), so each of the 4 (or
+    5.5 with the extension) words is a closed-form expression — no bit
+    packing needed.  Returns a list of (B,) uint32 planes.
+    """
+    csize = compressed_size.astype(_U32)
+    osize = _U32(original_size)
+    version = _U32((1 << 15) | CMP_VERSION_NUMBER)
     method = ((cfg.prep & 0xF) << 4) | ((1 if cfg.checksum else 0) << 3) | (cfg.enc_type & 0x7)
-    seq_method = ((seq.astype(_U32) & _U32(0xFF)) << _U32(8)) | _U32(method)
-    values = [version, compressed_size.astype(_U32),
-              jnp.full((B,), original_size, _U32),
-              id_hi.astype(_U32), id_lo.astype(_U32), seq_method]
-    lens = [16, 24, 24, 24, 24, 16]
+    w0 = (version << _U32(16)) | (csize >> _U32(8))
+    w1 = ((csize & _U32(0xFF)) << _U32(24)) | osize
+    w2 = (id_hi.astype(_U32) << _U32(8)) | (id_lo.astype(_U32) >> _U32(16))
+    w3 = ((id_lo.astype(_U32) & _U32(0xFFFF)) << _U32(16)) \
+        | ((seq.astype(_U32) & _U32(0xFF)) << _U32(8)) | _U32(method)
+    words = [w0, w1, w2, w3]
     if cfg.has_ext:
         model_rate = cfg.model_rate if cfg.prep == int(Preprocessing.MODEL) else 0
         enc_param = cfg.g_par if cfg.enc_type != 0 else 0
         enc_outlier = cfg.outlier if cfg.enc_type != 0 else 0
-        values += [jnp.full((B,), (model_rate << 16) | enc_param, _U32),
-                   jnp.full((B,), enc_outlier, _U32)]
-        lens += [24, 24]
-    hi = jnp.stack([z] * len(values), axis=-1)
-    lo = jnp.stack(values, axis=-1)
-    ln = jnp.broadcast_to(jnp.asarray(lens, jnp.int32), (B, len(lens)))
-    return hi, lo, ln
+        w4 = _U32((model_rate << 24) | (enc_param << 8) | (enc_outlier >> 16))
+        w5 = _U32((enc_outlier & 0xFFFF) << 16)
+        b = jnp.broadcast_to
+        words += [b(w4, w0.shape), b(w5, w0.shape)]
+    return words
 
 
 def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
                      seq: jax.Array, id_hi: jax.Array, id_lo: jax.Array,
                      checksum: jax.Array, n_words: int):
     """Encode (B, N) int32 samples under a static pass config.
+
+    Pipeline: preprocess -> closed-form codewords -> doubling-tree payload
+    pack -> closed-form header words -> constant-shift frame assembly with
+    the optional checksum placed by an iota mask.  Everything is shifts,
+    selects and concatenations — no gather/scatter.
 
     Returns (words (B, n_words) u32, size_bytes (B,) i32).
     """
@@ -137,33 +145,63 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
     hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
                                            cfg.g_par, cfg.outlier)
-    payload_bits = jnp.sum(lens, axis=-1)
+    # pad the code count to a power of two with zero-length codes
+    K = 1 << (N - 1).bit_length() if N > 1 else 1
+    if K != N:
+        padw = jnp.zeros((B, K - N), _U32)
+        hi = jnp.concatenate([hi, padw], axis=-1)
+        lo = jnp.concatenate([lo, padw], axis=-1)
+        lens = jnp.concatenate([lens, jnp.zeros((B, K - N), jnp.int32)],
+                               axis=-1)
+    payload, payload_bits = bitpack.pack_codes_tree(
+        hi, lo, lens, cfg.worst_bits_per_sample)
+
     bits = cfg.hdr_bits + payload_bits
     if cfg.checksum:
         pad = (-bits) % 8
         total_bits = bits + pad + 32
     else:
         total_bits = bits
-    size_bytes = (total_bits + 7) >> 3
+    size_bytes = ((total_bits + 7) >> 3).astype(jnp.int32)
 
-    hdr_hi, hdr_lo, hdr_ln = _header_codes(
-        cfg, size_bytes, 2 * N, id_hi, id_lo, seq)
+    hdr = _header_words(cfg, size_bytes, 2 * N, id_hi, id_lo, seq)
+    hdr_full_words = cfg.hdr_bits // 32      # 4 (basic) or 5 (ext)
+    hdr_rem = cfg.hdr_bits % 32              # 0 or 16
 
-    parts_hi = [hdr_hi, hi]
-    parts_lo = [hdr_lo, lo]
-    parts_ln = [hdr_ln, lens]
+    Wp = payload.shape[-1]
+    if hdr_rem == 0:
+        # header is word-aligned: simple concatenation
+        body = [w[..., None] for w in hdr] + [payload]
+    else:
+        # payload shifted right by hdr_rem bits, first part ORed into the
+        # header's half-filled last word
+        p_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), _U32), payload[..., :-1]], axis=-1)
+        p_sh = (payload >> _U32(hdr_rem)) | (p_prev << _U32(32 - hdr_rem))
+        tail = (payload[..., -1] << _U32(32 - hdr_rem))[..., None]
+        body = ([w[..., None] for w in hdr[:hdr_full_words]]
+                + [(hdr[hdr_full_words] | p_sh[..., 0])[..., None],
+                   p_sh[..., 1:], tail])
+    out = jnp.concatenate(body, axis=-1)
+    if out.shape[-1] < n_words:
+        out = jnp.concatenate(
+            [out, jnp.zeros((B, n_words - out.shape[-1]), _U32)], axis=-1)
+    else:
+        out = out[..., :n_words]
+
     if cfg.checksum:
-        z = jnp.zeros((B, 1), _U32)
-        parts_hi += [z, z]
-        parts_lo += [z, checksum.reshape(B, 1).astype(_U32)]
-        parts_ln += [pad.reshape(B, 1).astype(jnp.int32),
-                     jnp.full((B, 1), 32, jnp.int32)]
-    all_hi = jnp.concatenate(parts_hi, axis=-1)
-    all_lo = jnp.concatenate(parts_lo, axis=-1)
-    all_ln = jnp.concatenate(parts_ln, axis=-1)
-
-    words, _ = bitpack.pack_codes(all_hi, all_lo, all_ln, n_words)
-    return words, size_bytes.astype(jnp.int32)
+        # place the 32-bit checksum at the byte-aligned end (one-hot mask)
+        cs_bit = bits + pad                      # absolute bit offset
+        aw = (cs_bit >> 5)[..., None]            # (B, 1)
+        off = (cs_bit & 31)[..., None].astype(_U32)
+        iota = jnp.arange(n_words, dtype=jnp.int32)[None, :]
+        cs = checksum.astype(_U32)[..., None]
+        c0 = cs >> off
+        c1 = jnp.where(off == 0, _U32(0),
+                       cs << jnp.where(off == 0, _U32(0), _U32(32) - off))
+        out = out | jnp.where(iota == aw, c0, _U32(0)) \
+                  | jnp.where(iota == aw + 1, c1, _U32(0))
+    return out, size_bytes
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg", "n_words"))

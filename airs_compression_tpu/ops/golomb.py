@@ -43,14 +43,17 @@ def unzigzag(m: jax.Array) -> jax.Array:
 
 
 def ilog2(x: jax.Array) -> jax.Array:
-    """floor(log2(x)) for uint32 x in [1, 2^16), exact (encoder.c:40-49)."""
+    """floor(log2(x)) for uint32 x >= 1, exact (encoder.c:40-49)."""
     x = x.astype(_U32)
     r = jnp.zeros_like(x)
-    for shift in (8, 4, 2, 1):
+    for shift in (16, 8, 4, 2, 1):
         m = x >= _U32(1 << shift)
         r = jnp.where(m, r + _U32(shift), r)
         x = jnp.where(m, x >> _U32(shift), x)
     return r
+
+
+ilog2_u32 = ilog2
 
 
 def golomb_codeword(v: jax.Array, g_par: int, g_log2: int):

@@ -1,0 +1,60 @@
+"""Data-parallel block compression over a device mesh.
+
+Blocks are independent AIRSPACE frames (each header self-delimiting), so
+the stream is concatenable (SURVEY §2.5) — data parallelism is sharding
+the block axis.  The encode pipeline is jitted with ``NamedSharding``
+annotations: XLA partitions the whole fused pipeline (preprocess ->
+codewords -> bit-pack) with zero inter-device communication; only the host
+gather of the final ragged byte frames leaves the data path.
+
+For the multi-pass model state, the (B, N) model array lives sharded on
+device across calls — the "optimizer state" of this workload.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.encode import PassConfig, encode_blocks_device, model_update_step
+
+__all__ = ["encode_blocks_sharded", "ShardedBatchState"]
+
+
+def encode_blocks_sharded(mesh: Mesh, cfg: PassConfig, fallback_cfg,
+                          x, model, seq, id_hi, id_lo, checksum,
+                          n_words: int, axis_name: str = "dp"):
+    """Shard the batch over the mesh and run the fused encoder.
+
+    Inputs follow ops/encode.encode_blocks_device; arrays are placed with
+    a block-axis sharding so each device encodes B/n_dev blocks.
+    """
+    shard_bn = NamedSharding(mesh, P(axis_name, None))
+    shard_b = NamedSharding(mesh, P(axis_name))
+
+    x = jax.device_put(x, shard_bn)
+    model = jax.device_put(model, shard_bn)
+    seq = jax.device_put(seq, shard_b)
+    id_hi = jax.device_put(id_hi, shard_b)
+    id_lo = jax.device_put(id_lo, shard_b)
+    checksum = jax.device_put(checksum, shard_b)
+    return encode_blocks_device(cfg, fallback_cfg, x, model, seq, id_hi,
+                                id_lo, checksum, n_words)
+
+
+class ShardedBatchState:
+    """Device-resident sharded chain state for repeated passes."""
+
+    def __init__(self, mesh: Mesh, batch: int, n_samples: int,
+                 axis_name: str = "dp"):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.shard_bn = NamedSharding(mesh, P(axis_name, None))
+        self.model = jax.device_put(
+            jnp.zeros((batch, n_samples), jnp.int32), self.shard_bn)
+
+    def update(self, x, seq, fell_back, model_rate: int, unsigned: bool):
+        self.model = model_update_step(x, self.model, seq, fell_back,
+                                       model_rate, unsigned)
+        return self.model

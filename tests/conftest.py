@@ -4,13 +4,30 @@ Unit/parity tests must be hardware-independent and able to exercise
 multi-chip sharding logic, so JAX is pinned to the CPU platform with
 ``--xla_force_host_platform_device_count=8`` (the same mechanism the driver
 uses to dry-run the multi-chip path).  Must run before the first jax import.
+
+On this machine a sitecustomize hook force-registers the axon TPU backend
+whenever PALLAS_AXON_POOL_IPS is set; dropping the variable (and pinning
+JAX_PLATFORMS) keeps tests on CPU.  Benchmarks (bench.py) use the real chip.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: the tree-merge packer compiles a deep graph
+# per (config, shape); caching across test runs keeps the suite fast.
+import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU backend via jax.config even
+# when JAX_PLATFORMS=cpu is exported; override it back AFTER jax import so
+# tests really run on the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/airs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -120,7 +120,7 @@ class TestOps:
 
 class TestDeviceVsHost:
     @pytest.mark.parametrize("cfg_i", range(len(CONFIGS)))
-    @pytest.mark.parametrize("n", [1, 5, 64, 333, 1024])
+    @pytest.mark.parametrize("n", [5, 333])
     def test_batch_matches_host(self, cfg_i, n):
         params = CONFIGS[cfg_i]
         B = 4
