@@ -74,6 +74,9 @@ class BatchCompressor:
         self.identifiers = np.zeros(batch, dtype=np.int64)
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
         self._started = np.zeros(batch, dtype=bool)
+        from ..utils.profiling import ThroughputMeter
+
+        self.metrics = ThroughputMeter()
 
     # -- identifier bookkeeping (block order, like sequential C contexts) --
     def _draw_ids(self, mask: np.ndarray, draws_per_block: int = 1) -> None:
@@ -92,6 +95,9 @@ class BatchCompressor:
     # -- main entry ------------------------------------------------------
     def compress_frames(self, frames) -> "list[bytes]":
         """Compress one (B, N) u16 frame per chain; returns B AIRSPACE frames."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         x_np = np.ascontiguousarray(np.asarray(frames, dtype=np.uint16))
         if x_np.shape != (self.batch, self.n_samples):
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
@@ -170,6 +176,8 @@ class BatchCompressor:
                 self.identifiers[b] = ident
                 frame[8:14] = int(ident).to_bytes(6, "big")
             frames_out.append(bytes(frame))
+        self.metrics.record(x_np.nbytes, sum(map(len, frames_out)),
+                            _time.perf_counter() - _t0)
         return frames_out
 
 
