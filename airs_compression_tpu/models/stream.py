@@ -46,7 +46,8 @@ class BatchCompressor:
     """Compress sequences of (B, N) u16 frames on device, AIRSPACE-exact."""
 
     def __init__(self, params: CmpParams, batch: int, n_samples: int,
-                 cmp_type: CmpType = CmpType.U16):
+                 cmp_type: CmpType = CmpType.U16, adaptive: bool = False,
+                 ladder: "tuple[int, ...] | None" = None):
         params.validate()
         if 2 * n_samples > (1 << 24) - 1:
             raise CmpError(CmpErrorCode.HDR_ORIGINAL_TOO_LARGE)
@@ -54,6 +55,16 @@ class BatchCompressor:
         self.batch = batch
         self.n_samples = n_samples
         self.cmp_type = cmp_type
+        self.adaptive = adaptive
+        if adaptive:
+            from ..ops.adapt import DEFAULT_LADDER
+
+            self.ladder = tuple(ladder) if ladder else DEFAULT_LADDER
+            if params.uncompressed_fallback_enabled:
+                raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                               "adaptive mode with fallback not supported yet")
+        else:
+            self.ladder = None
         unsigned = cmp_type is CmpType.U16
         self.primary_cfg = make_pass_config(params, False, unsigned)
         self.secondary_cfg = (make_pass_config(params, True, unsigned)
@@ -68,6 +79,13 @@ class BatchCompressor:
         caps = [worst_case_words(self.primary_cfg, n_samples)]
         if self.secondary_cfg:
             caps.append(worst_case_words(self.secondary_cfg, n_samples))
+        if self.adaptive:
+            from ..ops.encode import adaptive_worst_case_words
+
+            for c in (self.primary_cfg, self.secondary_cfg):
+                if c is not None and c.enc_type == 1:
+                    caps.append(adaptive_worst_case_words(c, n_samples,
+                                                          self.ladder))
         self.n_words = max(caps)
         # per-chain state (host side mirrors of reference cmp_context)
         self.seq = np.zeros(batch, dtype=np.int64)
@@ -126,6 +144,16 @@ class BatchCompressor:
         all_secondary = bool((~primary_mask).all())
 
         def run(cfg):
+            if self.adaptive and cfg.enc_type == 1:  # GOLOMB_ZERO
+                from ..ops.encode import (
+                    adaptive_worst_case_words,
+                    encode_blocks_adaptive,
+                )
+
+                w, s, _g = encode_blocks_adaptive(
+                    cfg, x, self.model, seq_dev, id_hi, id_lo, checksum,
+                    self.n_words, self.ladder)
+                return w, s, jnp.zeros((self.batch,), bool)
             return encode_blocks_device(cfg, self.fallback_cfg, x, self.model,
                                         seq_dev, id_hi, id_lo, checksum,
                                         self.n_words)

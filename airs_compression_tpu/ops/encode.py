@@ -100,12 +100,13 @@ def worst_case_words(cfg: PassConfig, n: int) -> int:
 
 
 def _header_words(cfg: PassConfig, compressed_size, original_size, id_hi,
-                  id_lo, seq):
+                  id_lo, seq, enc_param_dyn=None, outlier_dyn=None):
     """Per-block header directly as big-endian u32 words.
 
     The header layout is fixed (cmp_header.h:26-51), so each of the 4 (or
     5.5 with the extension) words is a closed-form expression — no bit
-    packing needed.  Returns a list of (B,) uint32 planes.
+    packing needed.  Returns a list of (B,) uint32 planes.  The adaptive
+    encoder passes per-block ``enc_param_dyn`` / ``outlier_dyn`` arrays.
     """
     csize = compressed_size.astype(_U32)
     osize = _U32(original_size)
@@ -119,10 +120,17 @@ def _header_words(cfg: PassConfig, compressed_size, original_size, id_hi,
     words = [w0, w1, w2, w3]
     if cfg.has_ext:
         model_rate = cfg.model_rate if cfg.prep == int(Preprocessing.MODEL) else 0
-        enc_param = cfg.g_par if cfg.enc_type != 0 else 0
-        enc_outlier = cfg.outlier if cfg.enc_type != 0 else 0
-        w4 = _U32((model_rate << 24) | (enc_param << 8) | (enc_outlier >> 16))
-        w5 = _U32((enc_outlier & 0xFFFF) << 16)
+        if cfg.enc_type != 0:
+            enc_param = (enc_param_dyn.astype(_U32) if enc_param_dyn is not None
+                         else _U32(cfg.g_par))
+            enc_outlier = (outlier_dyn.astype(_U32) if outlier_dyn is not None
+                           else _U32(cfg.outlier))
+        else:
+            enc_param = _U32(0)
+            enc_outlier = _U32(0)
+        w4 = _U32(model_rate << 24) | (enc_param << _U32(8)) \
+            | (enc_outlier >> _U32(16))
+        w5 = (enc_outlier & _U32(0xFFFF)) << _U32(16)
         b = jnp.broadcast_to
         words += [b(w4, w0.shape), b(w5, w0.shape)]
     return words
@@ -145,6 +153,15 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
     hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
                                            cfg.g_par, cfg.outlier)
+    return _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo, checksum,
+                          n_words, cfg.worst_bits_per_sample)
+
+
+def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
+                   checksum, n_words: int, worst_bits: int,
+                   enc_param_dyn=None, outlier_dyn=None):
+    """Frame assembly shared by the static and adaptive encoders."""
+    B, N = lens.shape
     # pad the code count to a power of two with zero-length codes
     K = 1 << (N - 1).bit_length() if N > 1 else 1
     if K != N:
@@ -153,8 +170,7 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         lo = jnp.concatenate([lo, padw], axis=-1)
         lens = jnp.concatenate([lens, jnp.zeros((B, K - N), jnp.int32)],
                                axis=-1)
-    payload, payload_bits = bitpack.pack_codes_tree(
-        hi, lo, lens, cfg.worst_bits_per_sample)
+    payload, payload_bits = bitpack.pack_codes_tree(hi, lo, lens, worst_bits)
 
     bits = cfg.hdr_bits + payload_bits
     if cfg.checksum:
@@ -164,7 +180,8 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         total_bits = bits
     size_bytes = ((total_bits + 7) >> 3).astype(jnp.int32)
 
-    hdr = _header_words(cfg, size_bytes, 2 * N, id_hi, id_lo, seq)
+    hdr = _header_words(cfg, size_bytes, 2 * N, id_hi, id_lo, seq,
+                        enc_param_dyn, outlier_dyn)
     hdr_full_words = cfg.hdr_bits // 32      # 4 (basic) or 5 (ext)
     hdr_rem = cfg.hdr_bits % 32              # 0 or 16
 
@@ -258,3 +275,48 @@ def model_update_step(x: jax.Array, model: jax.Array, seq: jax.Array,
         x, model, jnp.asarray(model_rate, jnp.int32), unsigned_model)
     seeded = jnp.where((seq == 0)[:, None], x, updated)
     return jnp.where(fell_back[:, None], x, seeded)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_words", "ladder"))
+def encode_blocks_adaptive(cfg: PassConfig, x: jax.Array, model: jax.Array,
+                           seq: jax.Array, id_hi: jax.Array,
+                           id_lo: jax.Array, checksum: jax.Array,
+                           n_words: int, ladder: "tuple[int, ...]"):
+    """Adaptive-rate engine pass: per-block Golomb parameter selection.
+
+    Like encode_blocks_device but the GOLOMB_ZERO parameter is chosen
+    per block from the post-preprocessing residual statistics (exact
+    rate argmin over a static candidate ladder, ops/adapt.py); the chosen
+    parameter and its derived outlier travel in each block's header, so
+    the output is ordinary AIRSPACE bitstream.
+
+    Returns (words, sizes, g_selected (B,) int32).
+    """
+    from . import adapt
+
+    assert cfg.enc_type == int(EncoderType.GOLOMB_ZERO), \
+        "adaptive selection implemented for GOLOMB_ZERO"
+    B, N = x.shape
+    residuals = preprocess.preprocess_forward(
+        cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
+    g_sel, _bits = adapt.select_golomb_zero(residuals, ladder)
+    hi, lo, lens = adapt.encode_codewords_dynamic(residuals, g_sel)
+    # derived outlier for the header (same formulas as the codeword gen)
+    g = g_sel.astype(_U32)
+    g_log2 = golomb.ilog2(g)
+    cutoff = (_U32(2) << g_log2) - g
+    opt = cutoff + _U32(16) * g - _U32(1)
+    upper = cutoff + (_U32(32) - (g_log2 + _U32(1))) * g
+    outlier_dyn = jnp.minimum(opt, upper)
+    worst_bits = int(max(ladder)).bit_length() - 1 + 17
+    words, sizes = _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo,
+                                  checksum, n_words, worst_bits,
+                                  enc_param_dyn=g_sel, outlier_dyn=outlier_dyn)
+    return words, sizes, g_sel.astype(jnp.int32)
+
+
+def adaptive_worst_case_words(cfg: PassConfig, n: int,
+                              ladder: "tuple[int, ...]") -> int:
+    worst = int(max(ladder)).bit_length() - 1 + 17
+    bits = cfg.hdr_bits + worst * n + 7 + 32
+    return (bits + 31) // 32 + 1
