@@ -158,71 +158,91 @@ def _word_shift(buf: jax.Array, s: int) -> jax.Array:
 _LANE_SWITCH = 128  # move the word axis into lanes once it is this wide
 
 
-def _merge_level_list(words, ln, C_out):
-    """One merge level in list-of-(B.., M)-planes representation.
+def _shift_planes(planes, shift_bits, C_out, zeros):
+    """Shift a list-of-planes bitstream right by per-row ``shift_bits``.
+
+    Word-granular part: barrel shifter (log-step conditional constant
+    list rotations); bit-granular part: one per-row variable funnel.
+    """
+    C = len(planes)
+    ext = planes + [zeros] * (C_out - C)
+    q = shift_bits >> 5
+    t = 0
+    while (1 << t) <= C_out:
+        s = 1 << t
+        shifted = [zeros] * min(s, C_out) + ext[: max(C_out - s, 0)]
+        bit = ((q >> t) & 1) == 1
+        ext = [jnp.where(bit, sh, orig) for sh, orig in zip(shifted, ext)]
+        t += 1
+    r = (shift_bits & 31).astype(jnp.uint32)
+    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
+    rnz = r != 0
+    prev = [zeros] + ext[:-1]
+    return [jnp.where(rnz, (w >> jnp.where(rnz, r, jnp.uint32(0)))
+                      | jnp.where(rs == 0, jnp.uint32(0), p << rs), w)
+            for w, p in zip(ext, prev)]
+
+
+def _shift_array(buf, shift_bits, C_out):
+    """Same as _shift_planes for the (..., M, C) array representation."""
+    C = buf.shape[-1]
+    pad = jnp.zeros(buf.shape[:-1] + (C_out - C,), jnp.uint32)
+    ext = jnp.concatenate([buf, pad], axis=-1)
+    q = (shift_bits >> 5)[..., None]
+    t = 0
+    while (1 << t) <= C_out:
+        s = 1 << t
+        sh = _word_shift(ext, min(s, C_out))
+        ext = jnp.where((q >> t) & 1 == 1, sh, ext)
+        t += 1
+    r = (shift_bits & 31)[..., None].astype(jnp.uint32)
+    prev = _word_shift(ext, 1)
+    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
+    return jnp.where(r == 0, ext,
+                     (ext >> r) | jnp.where(rs == 0, jnp.uint32(0),
+                                            prev << rs))
+
+
+def _level_capacity(level_bits: int, naive: int) -> int:
+    return min(naive, (level_bits + 31) // 32 + 3)
+
+
+def _merge_level_list(words, ln, radix: int, C_out):
+    """One radix-R merge level in list-of-planes representation.
 
     ``words`` is a list of C uint32 arrays, plane j holding word j of every
     group's buffer; codes/groups live in the (large, lane-mapped) minor
-    array axis, so every operation below is a full-width VPU op.  The
-    barrel word-shift becomes a trace-time list rotation guarded by
-    per-pair select masks.
+    array axis, so every operation is a full-width VPU op.
     """
     C = len(words)
-    A = [w[..., 0::2] for w in words]
-    Bw = [w[..., 1::2] for w in words]
-    lenA = ln[..., 0::2]
-    lenB = ln[..., 1::2]
-    zeros = jnp.zeros_like(A[0])
-    A_ext = A + [zeros] * (C_out - C)
-    B_ext = Bw + [zeros] * (C_out - C)
-    q = lenA >> 5
-    t = 0
-    while (1 << t) <= C:
-        s = 1 << t
-        shifted = [zeros] * min(s, C_out) + B_ext[: max(C_out - s, 0)]
-        bit = ((q >> t) & 1) == 1
-        B_ext = [jnp.where(bit, sh, orig)
-                 for sh, orig in zip(shifted, B_ext)]
-        t += 1
-    r = (lenA & 31).astype(jnp.uint32)
-    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
-    rnz = r != 0
-    Bp = [zeros] + B_ext[:-1]
-    B_fin = [jnp.where(rnz, (w >> jnp.where(rnz, r, jnp.uint32(0)))
-                       | jnp.where(rs == 0, jnp.uint32(0), p << rs), w)
-             for w, p in zip(B_ext, Bp)]
-    out = [a | b for a, b in zip(A_ext, B_fin)]
-    return out, lenA + lenB
+    groups = [[w[..., k::radix] for w in words] for k in range(radix)]
+    lens = [ln[..., k::radix] for k in range(radix)]
+    zeros = jnp.zeros_like(groups[0][0])
+    out = groups[0] + [zeros] * (C_out - C)
+    total = lens[0]
+    for k in range(1, radix):
+        shifted = _shift_planes(groups[k], total, C_out, zeros)
+        out = [a | b for a, b in zip(out, shifted)]
+        total = total + lens[k]
+    return out, total
 
 
-def _merge_level_array(buf, ln, C_out):
-    """One merge level in (B.., M, C) representation (C lane-mapped)."""
+def _merge_level_array(buf, ln, radix: int, C_out):
+    """One radix-R merge level in (..., M, C) representation."""
+    groups = [buf[..., k::radix, :] for k in range(radix)]
+    lens = [ln[..., k::radix] for k in range(radix)]
     C = buf.shape[-1]
-    A = buf[..., 0::2, :]
-    B = buf[..., 1::2, :]
-    lenA = ln[..., 0::2]
-    lenB = ln[..., 1::2]
-    padA = jnp.zeros(A.shape[:-1] + (C_out - C,), jnp.uint32)
-    A_ext = jnp.concatenate([A, padA], axis=-1)
-    B_ext = jnp.concatenate([B, padA], axis=-1)
-    q = (lenA >> 5)[..., None]
-    t = 0
-    while (1 << t) <= C:
-        s = 1 << t
-        B_sh = _word_shift(B_ext, min(s, C_out))
-        B_ext = jnp.where((q >> t) & 1 == 1, B_sh, B_ext)
-        t += 1
-    r = (lenA & 31)[..., None].astype(jnp.uint32)
-    Bp = _word_shift(B_ext, 1)
-    rs = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(32) - r)
-    B_fin = jnp.where(r == 0, B_ext,
-                      (B_ext >> r) | jnp.where(rs == 0, jnp.uint32(0),
-                                               Bp << rs))
-    return A_ext | B_fin, lenA + lenB
+    pad = jnp.zeros(groups[0].shape[:-1] + (C_out - C,), jnp.uint32)
+    out = jnp.concatenate([groups[0], pad], axis=-1)
+    total = lens[0]
+    for k in range(1, radix):
+        out = out | _shift_array(groups[k], total, C_out)
+        total = total + lens[k]
+    return out, total
 
 
 def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,
-                    worst_bits: int):
+                    worst_bits: int, radix: int = 2):
     """Pack (..., K) codes (K a power of two) into a big-endian word stream.
 
     Args:
@@ -235,11 +255,16 @@ def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,
       (words: uint32 (..., C) left-justified stream, total_bits: int32
       (...,)); C = the static capacity for K codes of worst_bits bits.
 
-    Layout strategy (the part that makes this fast on TPU): early levels
-    keep each buffer word as its own (..., M) plane so the big code axis
-    stays lane-mapped; once buffers are >= 128 words the word axis itself
-    is wide enough for the lanes and the representation switches to a
-    single (..., M, C) array.
+    Design (the parts that make this fast on TPU):
+    * radix-R merge levels — each level concatenates R adjacent
+      bitstreams (A | B>>lenA | ...).  Radix 2 measures fastest on v5e
+      (radix 4 halves the level count but the extra selects cost more
+      than the traffic saved), so 2 is the default;
+    * variable shifts decompose into a barrel of log-step conditional
+      CONSTANT word shifts plus one per-row funnel — no gather/scatter;
+    * two-phase layout: early levels keep each buffer word as its own
+      (..., M) plane so the big code axis stays lane-mapped; once buffers
+      are >= 128 words the word axis itself moves into lanes.
     """
     K = lens.shape[-1]
     assert K & (K - 1) == 0, "K must be a power of two (pad with len-0 codes)"
@@ -263,12 +288,15 @@ def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,
     m = K
     level_bits = worst_bits
     # phase 1: list-of-planes while the word axis is narrow
-    while m > 1 and min(2 * len(words),
-                        (2 * level_bits + 31) // 32 + 2) < _LANE_SWITCH:
-        level_bits *= 2
-        C_out = min(2 * len(words), (level_bits + 31) // 32 + 2)
-        words, ln = _merge_level_list(words, ln, C_out)
-        m //= 2
+    while m > 1:
+        r = radix if (m % radix == 0 and m >= radix) else 2
+        next_bits = level_bits * r
+        C_out = _level_capacity(next_bits, r * len(words))
+        if C_out >= _LANE_SWITCH:
+            break
+        words, ln = _merge_level_list(words, ln, r, C_out)
+        level_bits = next_bits
+        m //= r
 
     if m == 1:
         return jnp.stack(words, axis=-1)[..., 0, :], ln[..., 0]
@@ -276,8 +304,9 @@ def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,
     # phase 2: lane-mapped word axis
     buf = jnp.stack(words, axis=-1)
     while m > 1:
-        level_bits *= 2
-        C_out = min(2 * buf.shape[-1], (level_bits + 31) // 32 + 2)
-        buf, ln = _merge_level_array(buf, ln, C_out)
-        m //= 2
+        r = radix if (m % radix == 0 and m >= radix) else 2
+        level_bits *= r
+        C_out = _level_capacity(level_bits, r * buf.shape[-1])
+        buf, ln = _merge_level_array(buf, ln, r, C_out)
+        m //= r
     return buf[..., 0, :], ln[..., 0]
