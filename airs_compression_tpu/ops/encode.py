@@ -33,10 +33,29 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..format.header import CMP_VERSION_NUMBER
 from ..format.params import CmpParams, EncoderType, Preprocessing
 from ..utils.bits import derive_encoder_outlier
-from . import bitpack, golomb, preprocess
+from . import bitpack, golomb, pallas_pack, preprocess
+
+
+def _use_pallas(B: int, K: int, worst_bits: int) -> bool:
+    """Route packing through the VMEM-resident Pallas kernel on TPU.
+
+    The decision is made at trace time (static shapes/config).  Override
+    with AIRS_TPU_PACKER=xla|pallas; CPU always uses the XLA tree (tests
+    exercise the Pallas kernels explicitly via ``interpret=True``).
+    """
+    mode = os.environ.get("AIRS_TPU_PACKER", "auto")
+    if mode == "xla":
+        return False
+    if not pallas_pack.pallas_pack_supported(B, K, worst_bits):
+        return False
+    if mode == "pallas":
+        return True
+    return jax.default_backend() != "cpu"
 
 __all__ = ["PassConfig", "make_pass_config", "encode_blocks_device", "worst_case_words"]
 
@@ -151,16 +170,23 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
     B, N = x.shape
     residuals = preprocess.preprocess_forward(
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
+    wb = cfg.worst_bits_per_sample
+    if N & (N - 1) == 0 and _use_pallas(B, N, wb):
+        # fused TPU fast path: codeword gen + pack in one VMEM kernel
+        payload, payload_bits = pallas_pack.pack_residuals_pallas(
+            residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb)
+        return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
+                                id_lo, checksum, n_words)
     hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
                                            cfg.g_par, cfg.outlier)
     return _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo, checksum,
-                          n_words, cfg.worst_bits_per_sample)
+                          n_words, wb)
 
 
 def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
                    checksum, n_words: int, worst_bits: int,
                    enc_param_dyn=None, outlier_dyn=None):
-    """Frame assembly shared by the static and adaptive encoders."""
+    """Pack + frame assembly shared by the static and adaptive encoders."""
     B, N = lens.shape
     # pad the code count to a power of two with zero-length codes
     K = 1 << (N - 1).bit_length() if N > 1 else 1
@@ -170,8 +196,22 @@ def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
         lo = jnp.concatenate([lo, padw], axis=-1)
         lens = jnp.concatenate([lens, jnp.zeros((B, K - N), jnp.int32)],
                                axis=-1)
-    payload, payload_bits = bitpack.pack_codes_tree(hi, lo, lens, worst_bits)
+    if _use_pallas(B, K, worst_bits):
+        payload, payload_bits = pallas_pack.pack_codes_tree_pallas(
+            hi, lo, lens, worst_bits)
+    else:
+        payload, payload_bits = bitpack.pack_codes_tree(hi, lo, lens,
+                                                        worst_bits)
+    return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
+                            id_lo, checksum, n_words, enc_param_dyn,
+                            outlier_dyn)
 
+
+def _assemble_frames(cfg: PassConfig, payload, payload_bits, N: int, seq,
+                     id_hi, id_lo, checksum, n_words: int,
+                     enc_param_dyn=None, outlier_dyn=None):
+    """Closed-form frame assembly from a packed payload word stream."""
+    B = payload.shape[0]
     bits = cfg.hdr_bits + payload_bits
     if cfg.checksum:
         pad = (-bits) % 8

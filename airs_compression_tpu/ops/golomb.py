@@ -69,8 +69,11 @@ def golomb_codeword(v: jax.Array, g_par: int, g_log2: int):
     vg = jnp.where(in_g0, _U32(0), v - _U32(cutoff))
     group = (vg // _U32(g_par)).astype(_U32)  # static divisor -> mul/shift
     rem = vg - group * _U32(g_par)
+    # min on int32: group <= 65535 so the cast is lossless (Mosaic has no
+    # unsigned vector min)
+    gclamp = jnp.minimum(group.astype(jnp.int32), 31).astype(_U32)
     unary = jnp.where(group >= _U32(32), _U32(0xFFFFFFFF),
-                      (_U32(1) << jnp.minimum(group, _U32(31))) - _U32(1))
+                      (_U32(1) << gclamp) - _U32(1))
     # unary << (len0+1) never overflows u32 for valid values (len <= 32)
     cw_hi = (unary << _U32(len0 + 1)) + _U32((cutoff << 1)) + rem
     cw = jnp.where(in_g0, v, cw_hi)

@@ -1,0 +1,269 @@
+"""VMEM-resident Pallas bit-packing kernels — the TPU fast path.
+
+The XLA tree packer (ops/bitpack.py) is algorithmically right for a vector
+machine but materialises every merge level in HBM: profiling shows packing
+is ~100% of encode time and runs ~85x more HBM traffic than the input
+size.  This module keeps the *entire* doubling tree in VMEM with one
+Pallas kernel per batch tile, built around three Mosaic-friendly layout
+moves (Mosaic supports no strided slicing and no in-kernel transposes):
+
+1. Codes live **column-major**: code ``j = s*A0 + a`` of a block sits at
+   ``[a, s, b]`` in an ``(A0, 8, B)`` array (one cheap XLA transpose; the
+   fused variant transposes int16 residuals and generates codewords
+   in-kernel, so only 2 bytes/sample cross HBM).  Merging adjacent codes
+   is then a *major axis* reshape ``(A, C, 8, 128) -> (A/2, 2, C, 8,
+   128)`` plus mid-axis indexing — every vector op runs on full
+   ``(8, 128)`` tiles at every level, and each level is a handful of
+   whole-array ops (no graph blowup).
+2. The variable bit-shift of each merge decomposes into a **barrel
+   shifter** over the word axis (log2(max shift) conditional static
+   word-shifts, i.e. zero-pad + slice on a major/sublane axis) plus one
+   per-lane variable funnel; the funnel is branch-free via
+   ``(prev << 1) << (31 - r)`` ≡ ``prev << (32 - r)`` mod 2^32 (zero at
+   r = 0).  No gather, no scatter anywhere.
+3. After ``log2(A0)`` levels the 8 per-sublane streams remain; they are
+   peeled into ``(C, B)`` arrays (static sublane extraction) and merged in
+   3 list levels with word shifts along the sublane axis.
+
+Both entry points are drop-in replacements for
+``bitpack.pack_codes_tree`` (same output contract, reference bitstream
+format per lib/common/bitstream_writer.h:124-158) and are exercised
+against it bit-for-bit in tests (CPU: ``interpret=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import golomb
+
+__all__ = [
+    "pack_codes_tree_pallas",
+    "pack_residuals_pallas",
+    "pallas_pack_supported",
+]
+
+_U32 = jnp.uint32
+_LANES = 128  # batch tile width (blocks per grid step)
+_S = 8       # sublane groups (codes per block = 8 * A0)
+
+
+def _ceil_words(bits: int) -> int:
+    return (bits + 31) // 32
+
+
+def _shift_words(ext: jax.Array, q: jax.Array, max_q: int,
+                 axis: int) -> jax.Array:
+    """Shift words toward higher indices along ``axis`` by per-element ``q``.
+
+    ``q`` broadcasts against ``ext`` with a 1-sized ``axis``; ``max_q`` is
+    the static bound on q.  Log-step barrel: each step is one static
+    zero-pad + slice plus one select — full-tile ops only.
+    """
+    C = ext.shape[axis]
+    t = 0
+    while (1 << t) <= max_q:
+        s = min(1 << t, C)
+        zshape = list(ext.shape)
+        zshape[axis] = s
+        idx = [slice(None)] * ext.ndim
+        idx[axis] = slice(0, C - s)
+        shifted = jnp.concatenate(
+            [jnp.zeros(zshape, ext.dtype), ext[tuple(idx)]], axis=axis)
+        ext = jnp.where(((q >> t) & 1) == 1, shifted, ext)
+        t += 1
+    return ext
+
+
+def _funnel_bits(ext: jax.Array, r: jax.Array, axis: int) -> jax.Array:
+    """Shift the word stream right by per-element ``r`` in [0, 32) bits."""
+    if ext.shape[axis] == 1:
+        prev = jnp.zeros_like(ext)
+    else:
+        zshape = list(ext.shape)
+        zshape[axis] = 1
+        idx = [slice(None)] * ext.ndim
+        idx[axis] = slice(0, ext.shape[axis] - 1)
+        prev = jnp.concatenate(
+            [jnp.zeros(zshape, ext.dtype), ext[tuple(idx)]], axis=axis)
+    # (prev << 1) << (31 - r) == prev << (32 - r) mod 2^32, and = 0 at r=0
+    return (ext >> r) | ((prev << _U32(1)) << (_U32(31) - r))
+
+
+def _pad_words(buf: jax.Array, C_out: int, axis: int) -> jax.Array:
+    C = buf.shape[axis]
+    if C == C_out:
+        return buf
+    zshape = list(buf.shape)
+    zshape[axis] = C_out - C
+    return jnp.concatenate([buf, jnp.zeros(zshape, buf.dtype)], axis=axis)
+
+
+def _level0(hi, lo, ln, worst_bits: int, guard_zero: bool):
+    """Left-justify every code in its own C0-word buffer (axis 1)."""
+    if worst_bits <= 32:
+        s = jnp.clip(32 - ln, 0, 31).astype(_U32)
+        w0 = lo << s
+        if guard_zero:
+            w0 = jnp.where(ln > 0, w0, _U32(0))
+        return w0[:, None]
+    sh_hi = jnp.clip(ln - 32, 0, 31).astype(_U32)   # len > 32
+    sh_lo = jnp.clip(32 - ln, 0, 31).astype(_U32)   # len <= 32
+    w0 = jnp.where(ln > 32,
+                   (hi << (_U32(32) - sh_hi)) | (lo >> sh_hi),
+                   jnp.where(ln > 0, lo << sh_lo, _U32(0)))
+    w0 = jnp.where(ln == 32, lo, w0)
+    sh_w1 = jnp.clip(64 - ln, 0, 31).astype(_U32)
+    w1 = jnp.where(ln > 32, lo << sh_w1, _U32(0))
+    return jnp.stack([w0, w1], axis=1)
+
+
+def _tree_pack_body(hi, lo, ln, worst_bits: int, A0: int, C_final: int,
+                    guard_zero: bool, payload_ref, bits_ref):
+    """Shared kernel body: (A0, 8, 128) codes -> (C_final, 128) stream."""
+    # ---- phase 1: log2(A0) merge levels on the major code axis --------
+    buf = _level0(hi, lo, ln, worst_bits, guard_zero)  # (A0, C0, 8, 128)
+    A, level_bits = A0, worst_bits
+    while A > 1:
+        C = buf.shape[1]
+        C_out = _ceil_words(2 * level_bits)
+        v = buf.reshape(A // 2, 2, C, _S, _LANES)
+        a, b = v[:, 0], v[:, 1]
+        l2 = ln.reshape(A // 2, 2, _S, _LANES)
+        la, lb = l2[:, 0], l2[:, 1]
+        ext = _pad_words(b, C_out, axis=1)
+        ext = _shift_words(ext, (la >> 5)[:, None], level_bits >> 5, axis=1)
+        ext = _funnel_bits(ext, (la & 31)[:, None].astype(_U32), axis=1)
+        buf = _pad_words(a, C_out, axis=1) | ext
+        ln = la + lb
+        A //= 2
+        level_bits *= 2
+
+    # ---- phase 2: peel the 8 sublane streams, 3 list merge levels -----
+    groups = [buf[0, :, s, :] for s in range(_S)]       # each (C, 128)
+    lens = [ln[0, s, :][None, :] for s in range(_S)]    # each (1, 128)
+    while len(groups) > 1:
+        C_out = _ceil_words(2 * level_bits)
+        ng, nl = [], []
+        for k in range(0, len(groups), 2):
+            la = lens[k]
+            ext = _pad_words(groups[k + 1], C_out, axis=0)
+            ext = _shift_words(ext, la >> 5, level_bits >> 5, axis=0)
+            ext = _funnel_bits(ext, (la & 31).astype(_U32), axis=0)
+            ng.append(_pad_words(groups[k], C_out, axis=0) | ext)
+            nl.append(la + lens[k + 1])
+        groups, lens = ng, nl
+        level_bits *= 2
+
+    payload_ref[:] = _pad_words(groups[0], C_final, axis=0)
+    bits_ref[:] = lens[0]
+
+
+def _codes_kernel(worst_bits: int, A0: int, C_final: int, n_in: int, *refs):
+    in_refs, (payload_ref, bits_ref) = refs[:n_in], refs[n_in:]
+    if n_in == 3:
+        hi = in_refs[0][:]
+        lo, ln = in_refs[1][:], in_refs[2][:].astype(jnp.int32)
+    else:
+        hi = None
+        lo, ln = in_refs[0][:], in_refs[1][:].astype(jnp.int32)
+    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, True,
+                    payload_ref, bits_ref)
+
+
+def _residual_kernel(enc_type: int, g_par: int, outlier: int,
+                     worst_bits: int, A0: int, C_final: int,
+                     res_ref, payload_ref, bits_ref):
+    res = res_ref[:].astype(jnp.int32)  # i16 -> sign-extended i32
+    hi, lo, ln = golomb.encode_codewords(res, enc_type, g_par, outlier)
+    # real codes always have len >= 1, so no zero-length guard needed
+    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, False,
+                    payload_ref, bits_ref)
+
+
+def _pallas_pack_call(kernel, ins, B: int, A0: int, C_final: int,
+                      interpret: bool):
+    in_spec = pl.BlockSpec((A0, _S, _LANES), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    payload_t, bits = pl.pallas_call(
+        kernel,
+        grid=(B // _LANES,),
+        out_shape=(jax.ShapeDtypeStruct((C_final, B), _U32),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32)),
+        in_specs=[in_spec] * len(ins),
+        out_specs=(pl.BlockSpec((C_final, _LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    return payload_t.transpose(1, 0), bits[0]
+
+
+def _css(v: jax.Array) -> jax.Array:
+    """(B, K) -> (A0, 8, B): code j = s*A0 + a lands at [a, s, b]."""
+    B, K = v.shape
+    return v.reshape(B, _S, K // _S).transpose(2, 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("worst_bits", "interpret"))
+def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
+                           worst_bits: int, interpret: bool = False):
+    """Drop-in for ``bitpack.pack_codes_tree`` on TPU (same contract).
+
+    Args:
+      hi, lo: uint32 (B, K) codeword bits (hi = bits above 32, "clean").
+      lens: int32 (B, K) bit lengths in [0, worst_bits]; zero-length codes
+        contribute nothing (used to pad K).
+      worst_bits: static per-code maximum bit length (<= 64).
+
+    Returns:
+      (words (B, C_final) uint32 left-justified stream, total_bits (B,)).
+
+    Requires K = 8 * 2^k and B % 128 == 0; check with
+    :func:`pallas_pack_supported` and fall back to the XLA packer.
+    """
+    B, K = lens.shape
+    A0 = K // _S
+    C_final = _ceil_words(worst_bits * K)
+    need_hi = worst_bits > 32
+    ins = ([_css(hi)] if need_hi else []) + [_css(lo), _css(lens)]
+    kernel = functools.partial(_codes_kernel, worst_bits, A0, C_final,
+                               len(ins))
+    return _pallas_pack_call(kernel, ins, B, A0, C_final, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "enc_type", "g_par", "outlier", "worst_bits", "interpret"))
+def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
+                          outlier: int, worst_bits: int,
+                          interpret: bool = False):
+    """Fused codeword generation + packing from int16 residuals.
+
+    Equivalent to ``golomb.encode_codewords`` followed by
+    ``pack_codes_tree`` but only 2 bytes/sample cross HBM into the kernel:
+    the (B, K) int32 residuals are staged as int16 (they are i16 values by
+    construction) and codewords are generated on the VPU inside the
+    kernel.  Requires K = 8 * 2^k (all codes real) and B % 128 == 0.
+    """
+    B, K = residuals.shape
+    A0 = K // _S
+    C_final = _ceil_words(worst_bits * K)
+    res16 = _css(residuals.astype(jnp.int16))
+    kernel = functools.partial(_residual_kernel, enc_type, g_par, outlier,
+                               worst_bits, A0, C_final)
+    return _pallas_pack_call(kernel, [res16], B, A0, C_final, interpret)
+
+
+def pallas_pack_supported(B: int, K: int, worst_bits: int) -> bool:
+    """Static eligibility for the Pallas packers (else use the XLA tree)."""
+    if worst_bits > 64 or B % _LANES != 0 or K < 2 * _S:
+        return False
+    return K % _S == 0 and (K // _S) & (K // _S - 1) == 0

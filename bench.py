@@ -129,21 +129,24 @@ def _measure_encode(cfg, B, N):
     ids = jnp.zeros((B,), jnp.uint32)
     csum = jnp.zeros((B,), jnp.uint32)
 
-    n_lo, n_hi = 1, 9
+    # Differencing over a long serial loop: per-iteration time is small
+    # relative to the ~20ms axon dispatch overhead, so the loop must be
+    # long enough that the difference dominates the noise.  Median of 3.
+    n_lo, n_hi = 1, 129
     f_lo = make_encode_loop(cfg, n_words, B, N, n_lo)
     f_hi = make_encode_loop(cfg, n_words, B, N, n_hi)
     timed(f_lo, x, seq, ids, csum)  # warm/compile
     timed(f_hi, x, seq, ids, csum)
-    best = None
+    samples = []
     for _ in range(3):
         t_lo, _ = timed(f_lo, x, seq, ids, csum)
         t_hi, _ = timed(f_hi, x, seq, ids, csum)
         per_iter = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
         log(f"encode B={B} N={N}: lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms "
-            f"-> {per_iter*1e3:.2f} ms/iter, {gb/per_iter:.2f} GB/s")
-        if best is None or per_iter < best:
-            best = per_iter
-    return gb / best, (x, seq, ids, csum, n_words)
+            f"-> {per_iter*1e3:.3f} ms/iter, {gb/per_iter:.2f} GB/s")
+        samples.append(per_iter)
+    med = sorted(samples)[len(samples) // 2]
+    return gb / med, (x, seq, ids, csum, n_words)
 
 
 def main():

@@ -1,0 +1,86 @@
+"""Pallas packer parity vs the XLA tree packer (interpreter mode on CPU).
+
+The Pallas kernels (ops/pallas_pack.py) are the TPU fast path for
+variable-length bit packing; on hardware they are exercised end-to-end by
+the engine.  Here they run under ``interpret=True`` on the CPU test
+platform and must reproduce ``bitpack.pack_codes_tree`` bit-for-bit —
+which is itself pinned to the reference bitstream format
+(lib/common/bitstream_writer.h) by the oracle parity tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from airs_compression_tpu.ops import bitpack, golomb
+from airs_compression_tpu.ops.pallas_pack import (
+    pack_codes_tree_pallas,
+    pack_residuals_pallas,
+    pallas_pack_supported,
+)
+
+B = 128  # minimum lane tile
+
+
+def _assert_same(ref, pal):
+    w_ref, tb_ref = map(np.asarray, ref)
+    w_pal, tb_pal = map(np.asarray, pal)
+    np.testing.assert_array_equal(tb_ref, tb_pal)
+    c = min(w_ref.shape[1], w_pal.shape[1])
+    np.testing.assert_array_equal(w_ref[:, :c], w_pal[:, :c])
+    assert not w_ref[:, c:].any() and not w_pal[:, c:].any()
+
+
+@pytest.mark.parametrize("K,W", [(16, 19), (64, 7), (256, 32), (128, 48)])
+def test_random_codes_match_xla_tree(K, W):
+    rng = np.random.default_rng(K * 100 + W)
+    ln = rng.integers(0, W + 1, (B, K)).astype(np.int32)
+    val = rng.integers(0, 1 << 62, (B, K), dtype=np.uint64) \
+        & ((np.uint64(1) << ln.astype(np.uint64)) - np.uint64(1))
+    lo = jnp.asarray((val & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((val >> np.uint64(32)).astype(np.uint32))
+    lnj = jnp.asarray(ln)
+    _assert_same(bitpack.pack_codes_tree(hi, lo, lnj, W),
+                 pack_codes_tree_pallas(hi, lo, lnj, W, interpret=True))
+
+
+@pytest.mark.parametrize("enc_type,g_par,outlier,W", [
+    (1, 4, 67, 19),    # GOLOMB_ZERO, derived optimal outlier
+    (1, 1, 16, 17),    # g=1 edge
+    (2, 2, 40, 48),    # GOLOMB_MULTI with escapes
+    (0, 0, 0, 16),     # UNCOMPRESSED
+])
+def test_fused_residual_kernel(enc_type, g_par, outlier, W):
+    rng = np.random.default_rng(enc_type * 7 + g_par)
+    K = 128
+    res = jnp.asarray(rng.integers(-32768, 32768, (B, K)), jnp.int32)
+    hi, lo, ln = golomb.encode_codewords(res, enc_type, g_par, outlier)
+    _assert_same(
+        bitpack.pack_codes_tree(hi, lo, ln, W),
+        pack_residuals_pallas(res, enc_type, g_par, outlier, W,
+                              interpret=True))
+
+
+def test_zero_length_padding_codes():
+    # K padded beyond the real code count with len-0 codes
+    rng = np.random.default_rng(3)
+    K, W = 64, 19
+    ln = rng.integers(1, W + 1, (B, K)).astype(np.int32)
+    ln[:, 40:] = 0
+    lo = jnp.asarray(
+        rng.integers(0, 1 << 19, (B, K)).astype(np.uint32)
+        & ((np.uint32(1) << ln.astype(np.uint32)) - np.uint32(1)))
+    hi = jnp.zeros((B, K), jnp.uint32)
+    lnj = jnp.asarray(ln)
+    _assert_same(bitpack.pack_codes_tree(hi, lo, lnj, W),
+                 pack_codes_tree_pallas(hi, lo, lnj, W, interpret=True))
+
+
+def test_supported_predicate():
+    assert pallas_pack_supported(128, 8192, 19)
+    assert pallas_pack_supported(512, 16, 48)
+    assert not pallas_pack_supported(100, 8192, 19)   # B not lane-aligned
+    assert not pallas_pack_supported(128, 8192, 65)   # code too wide
+    assert not pallas_pack_supported(128, 24, 19)     # K/8 not a pow2
+    assert not pallas_pack_supported(128, 8, 19)      # K too small
