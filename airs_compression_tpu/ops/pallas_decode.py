@@ -1,0 +1,278 @@
+"""Pallas lockstep Golomb decoder — gather-free streaming on the VPU.
+
+Golomb decoding is bit-serial per stream, so the only parallelism is
+across blocks.  The XLA scan decoder (ops/decode.py) pays a per-step
+``take_along_axis`` gather from HBM for every one of the N steps, which
+caps it at ~0.06 GB/s.  This kernel keeps 1024 blocks of decode state as
+``(8, 128)`` registers/VMEM tiles and replaces the gather with a
+**slab pyramid**: each lane's next words are staged through progressively
+smaller VMEM slabs, each refreshed from its parent at a power-of-2
+cadence by one-hot selects over *aligned* candidate offsets (full-tile
+selects, no gather):
+
+    stream (C words, VMEM)
+      -> mid slab   512 words  (align 128, refresh every 256 steps)
+      -> near slab  128 words  (align  32, refresh every  64 steps)
+      -> next slab   16 words  (align   8, refresh every   8 steps)
+      -> 64-bit left-aligned window (register), 1 word refill per phase
+
+Refresh cadences are halved for codes wider than 32 bits (GOLOMB_MULTI
+escapes) so slab margins always cover the worst-case cursor advance;
+codes wider than 32 bits are decoded in two <=32-bit phases with a
+refill between, so a 64-bit window suffices.
+
+The per-step decode math reuses ops/decode.py's closed forms (inverting
+reference encoder.c:303-378).  Output is written row-per-step; the XLA
+wrapper transposes back and runs the batched inverse preprocessors.
+Bit-exact vs the XLA scan decoder (tests, interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import golomb, preprocess
+from .decode import _clz32, _decode_one, _take_bits
+from .encode import PassConfig
+
+__all__ = ["decode_blocks_pallas", "pallas_decode_supported"]
+
+_U32 = jnp.uint32
+_LANES = 128
+_SUB = 8          # sublane rows of lockstep state -> 1024 blocks per tile
+_TILE = _SUB * _LANES
+
+
+def _slab_plan(C_in: int, worst_bits: int):
+    """Pyramid levels bottom-up: (size, align, cadence_steps).
+
+    Margins: a level of S words aligned to A, refreshed every T steps,
+    must keep covering its child whose base advances <= W*T bits; the
+    child base is at most (A-1) + child_size words past this level's
+    base right after refresh.  Sizes/cadences chosen so
+    (S - A + 1 - child_size) * 32 >= W * T with power-of-2 cadences.
+    """
+    wide = worst_bits > 28
+    levels = [(16, 8, 4 if wide else 8)]
+    if C_in > 160:
+        levels.append((128, 32, 32 if wide else 64))
+    if C_in > 640:
+        levels.append((512, 128, 128 if wide else 256))
+    return levels  # bottom (next slab) .. top (below stream)
+
+
+def _refresh(dst_ref, src_ref, src_size: int, dst_size: int, align: int,
+             rel):
+    """dst <- src[rel : rel + dst_size] per lane, rel multiple of align.
+
+    ``rel`` is (SUB, LANES) int32 (child base - parent base).  One select
+    per aligned candidate, each a full (dst_size, 8, 128) where().
+    """
+    cur = dst_ref[:]
+    for k in range((src_size - dst_size) // align + 1):
+        cand = src_ref[k * align:k * align + dst_size]
+        cur = jnp.where(rel[None] == k * align, cand, cur)
+    dst_ref[:] = cur
+
+
+def _onehot_word(slab_ref, size: int, off):
+    """slab[off] per lane; ``off`` (SUB, LANES) int32 in [0, size)."""
+    w = jnp.zeros((_SUB, _LANES), _U32)
+    for j in range(size):
+        w = jnp.where(off == j, slab_ref[j], w)
+    return w
+
+
+def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int):
+    levels = _slab_plan(C_in, cfg.worst_bits_per_sample)
+    two_phase = cfg.enc_type == 2  # MULTI escapes can exceed 32 bits
+    wi0 = cfg.hdr_bits >> 5
+    r0 = cfg.hdr_bits & 31
+
+    def kernel(words_ref, out_ref, endpos_ref, *slabs):
+        # slabs: one VMEM scratch per pyramid level (bottom..top) plus a
+        # state scratch: rows 0..len(levels)-1 = per-level base, then
+        # hi, lo, navail(int), wi
+        *slab_refs, st = slabs
+        w = words_ref[0]  # (C_pad, SUB, LANES)
+        n_lv = len(levels)
+
+        def refresh_level(li, wi):
+            size, align, _ = levels[li]
+            base = (wi // align) * align
+            if li == n_lv - 1:
+                src, src_size, rel = w, C_pad, base
+            else:
+                psize = levels[li + 1][0]
+                src, src_size = slab_refs[li + 1], psize
+                rel = base - st[4 + li + 1].astype(jnp.int32)
+            _refresh(slab_refs[li], src, src_size, size, align, rel)
+            st[4 + li] = base.astype(_U32)
+
+        # ---- initial state -------------------------------------------
+        # window holds bits [hdr_bits, (wi0+2)*32): navail = 64 - r0
+        w0, w1 = w[wi0].astype(_U32), w[wi0 + 1].astype(_U32)
+        if r0:
+            hi = (w0 << _U32(r0)) | (w1 >> _U32(32 - r0))
+            lo = w1 << _U32(r0)
+        else:
+            hi, lo = w0, w1
+        zero = jnp.zeros((_SUB, _LANES), jnp.int32)
+        st[0] = hi
+        st[1] = lo
+        st[2] = zero + (64 - r0)
+        st[3] = zero + (wi0 + 2)
+        for li in reversed(range(n_lv)):
+            refresh_level(li, zero + (wi0 + 2))
+
+        near_size = levels[0][0]
+
+        def refill(hi, lo, navail, wi):
+            """One conditional word refill (branch-free)."""
+            do = navail <= 32
+            off = jnp.where(do, wi - st[4].astype(jnp.int32), 0)
+            nw = _onehot_word(slab_refs[0], near_size, off)
+            nw = jnp.where(do, nw, _U32(0))
+            sh_hi = jnp.clip(navail - 1, 0, 31).astype(_U32)
+            sh_lo = jnp.clip(31 - navail, 0, 31).astype(_U32)
+            hi_add = jnp.where(navail == 0, nw, (nw >> _U32(1)) >> sh_hi)
+            lo_add = jnp.where(navail >= 32, nw, (nw << _U32(1)) << sh_lo)
+            hi = hi | jnp.where(do, hi_add, _U32(0))
+            lo = lo | jnp.where(do, lo_add, _U32(0))
+            return hi, lo, navail + jnp.where(do, 32, 0), \
+                wi + jnp.where(do, 1, 0)
+
+        def consume(hi, lo, navail, nbits):
+            """Shift the window left by nbits in [0, 32]."""
+            n = nbits.astype(_U32)
+            big = nbits >= 32
+            sh = jnp.where(big, _U32(0), n)
+            hi2 = (hi << sh) | jnp.where(
+                sh == 0, _U32(0), lo >> ((_U32(32) - sh) & _U32(31)))
+            lo2 = lo << sh
+            hi3 = jnp.where(big, lo, hi2)
+            lo3 = jnp.where(big, _U32(0), lo2)
+            return hi3, lo3, navail - nbits
+
+        def step(i, _):
+            # slab refreshes, top level first (scalar-predicated)
+            wi_cur = st[3].astype(jnp.int32)
+            for li in reversed(range(n_lv)):
+                cad = levels[li][2]
+
+                @pl.when(jnp.logical_and(i % cad == 0, i > 0))
+                def _(li=li, wi_cur=wi_cur):
+                    refresh_level(li, wi_cur)
+
+            hi, lo = st[0], st[1]
+            navail, wi = st[2].astype(jnp.int32), st[3].astype(jnp.int32)
+
+            if not two_phase:
+                val, used = _decode_one(cfg, hi, lo)
+                hi, lo, navail = consume(hi, lo, navail, used)
+                hi, lo, navail, wi = refill(hi, lo, navail, wi)
+            else:
+                # phase 1: Golomb part (<= 32 bits)
+                g_par = cfg.g_par
+                g_log2 = int(g_par).bit_length() - 1
+                cutoff = (2 << g_log2) - g_par
+                q = _clz32(~hi).astype(jnp.int32)
+                rbits = _take_bits(hi, lo, q + 1,
+                                   jnp.full(q.shape, g_log2, jnp.int32))
+                long_form = rbits >= _U32(cutoff)
+                extra = _take_bits(hi, lo, q + 1 + g_log2,
+                                   jnp.where(long_form, 1, 0))
+                rem = jnp.where(long_form,
+                                ((rbits << _U32(1)) | extra) - _U32(cutoff),
+                                rbits)
+                v = q.astype(_U32) * _U32(g_par) + rem
+                used1 = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
+                hi, lo, navail = consume(hi, lo, navail, used1)
+                hi, lo, navail, wi = refill(hi, lo, navail, wi)
+                # phase 2: escape raw bits (<= 32)
+                esc = v >= _U32(cfg.outlier)
+                level = jnp.where(esc, v - _U32(cfg.outlier), _U32(0))
+                nbits = jnp.where(esc,
+                                  ((level + _U32(1)) * _U32(2)).astype(
+                                      jnp.int32), 0)
+                diff = _take_bits(hi, lo, jnp.zeros_like(nbits), nbits)
+                val = jnp.where(esc, _U32(cfg.outlier) + diff, v)
+                hi, lo, navail = consume(hi, lo, navail, nbits)
+                hi, lo, navail, wi = refill(hi, lo, navail, wi)
+
+            st[0] = hi
+            st[1] = lo
+            st[2] = navail.astype(_U32)
+            st[3] = wi.astype(_U32)
+            out_ref[0, pl.ds(i, 1)] = val[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_samples, step, 0)
+        endpos_ref[:] = (st[3].astype(jnp.int32) * 32
+                         - st[2].astype(jnp.int32))[None, None]
+
+    return kernel, levels
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interpret"))
+def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
+                         model: jax.Array, n_samples: int,
+                         interpret: bool = False):
+    """Drop-in for ``decode_blocks_device`` (same contract) on TPU.
+
+    ``words`` is (B, C) uint32 whole frames (header included); B must be
+    a multiple of 1024.  Returns (samples (B, N) int32, end_bitpos (B,)).
+    """
+    B, C_in = words.shape
+    tiles = B // _TILE
+    # pad so every aligned candidate slice of the top slab is in bounds
+    top = 512 if C_in > 640 else (128 if C_in > 160 else 16)
+    C_pad = C_in + top
+    w = jnp.concatenate(
+        [words, jnp.zeros((B, C_pad - C_in), _U32)], axis=-1)
+    w_css = w.reshape(tiles, _SUB, _LANES, C_pad).transpose(0, 3, 1, 2)
+
+    kernel, levels = _make_kernel(cfg, n_samples, C_in, C_pad)
+    scratch = [pltpu.VMEM((size, _SUB, _LANES), _U32)
+               for size, _, _ in levels]
+    scratch.append(pltpu.VMEM((4 + len(levels), _SUB, _LANES), _U32))
+    out, endpos = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        out_shape=(jax.ShapeDtypeStruct((tiles, n_samples, _SUB, _LANES),
+                                        _U32),
+                   jax.ShapeDtypeStruct((tiles, 1, _SUB, _LANES), jnp.int32)),
+        in_specs=[pl.BlockSpec((1, C_pad, _SUB, _LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, n_samples, _SUB, _LANES),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, _SUB, _LANES),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(w_css)
+    # out[tile, step, s, lane] -> (B, N)
+    vals = out.transpose(0, 2, 3, 1).reshape(B, n_samples)
+    end_pos = endpos.reshape(B)
+
+    if cfg.enc_type == 0:
+        residuals = ((vals.astype(jnp.int32) & 0xFFFF) ^ 0x8000) - 0x8000
+    else:
+        residuals = golomb.unzigzag(vals)
+    samples = preprocess.preprocess_inverse(
+        cfg.prep, residuals, model if cfg.prep == 3 else None)
+    return samples, end_pos
+
+
+def pallas_decode_supported(B: int) -> bool:
+    return B % _TILE == 0

@@ -68,36 +68,6 @@ def make_encode_loop(cfg, n_words, B, N, n_iter):
     return loop
 
 
-def make_decode_loop(cfg, B, N, n_iter, words):
-    from airs_compression_tpu.ops.decode import (
-        _decode_one,
-        _window64,
-    )
-    from airs_compression_tpu.ops import golomb, preprocess
-
-    @jax.jit
-    def loop(words, zmask):
-        def body(i, carry):
-            # zmask is zero at runtime but opaque to the compiler, so the
-            # XOR creates a true serial dependency without altering data
-            w = words ^ (carry[:, None] & zmask[:, None])
-
-            def step(pos, _):
-                hi, lo = _window64(w, pos)
-                val, consumed = _decode_one(cfg, hi, lo)
-                return pos + consumed, val
-
-            end_pos, vals = jax.lax.scan(
-                step, jnp.full((B,), cfg.hdr_bits, jnp.int32), None, length=N)
-            return end_pos.astype(jnp.uint32)
-
-        c = jax.lax.fori_loop(0, n_iter, body,
-                              jnp.zeros((B,), jnp.uint32))
-        return c[:2]
-
-    return loop
-
-
 def timed(fn, *args):
     t0 = time.time()
     out = np.asarray(fn(*args))
@@ -199,16 +169,33 @@ def main():
             dcfg, x, x, jnp.zeros((dec_B,), jnp.int32),
             jnp.zeros((dec_B,), jnp.uint32), jnp.zeros((dec_B,), jnp.uint32),
             jnp.zeros((dec_B,), jnp.uint32), dn_words))(dx)
-        g_lo = make_decode_loop(dcfg, dec_B, dec_N, 1, dwords)
-        g_hi = make_decode_loop(dcfg, dec_B, dec_N, 3, dwords)
-        zmask = jnp.zeros((dec_B,), jnp.uint32)
-        timed(g_lo, dwords, zmask)
-        timed(g_hi, dwords, zmask)
-        t_lo, _ = timed(g_lo, dwords, zmask)
-        t_hi, _ = timed(g_hi, dwords, zmask)
+        from airs_compression_tpu.ops.decode import decode_blocks_device
+
+        def make_dec_loop(n_iter):
+            @jax.jit
+            def loop(w):
+                def body(i, carry):
+                    w2 = w ^ (carry[:, None] & jnp.uint32(1))
+                    s, e = decode_blocks_device(dcfg, w2, dx, dec_N)
+                    return e.astype(jnp.uint32)
+
+                return jax.lax.fori_loop(
+                    0, n_iter, body, jnp.zeros((dec_B,), jnp.uint32))[:2]
+
+            return loop
+
+        n_lo, n_hi = 1, 65
+        g_lo, g_hi = make_dec_loop(n_lo), make_dec_loop(n_hi)
+        timed(g_lo, dwords)
+        timed(g_hi, dwords)
+        dsamples = []
+        for _ in range(3):
+            t_lo, _ = timed(g_lo, dwords)
+            t_hi, _ = timed(g_hi, dwords)
+            dsamples.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
         dgb = dec_B * dec_N * 2 / 1e9
-        dper = max((t_hi - t_lo) / 2, 1e-9)
-        log(f"decode: {dper*1e3:.2f} ms/iter -> {dgb/dper:.2f} GB/s")
+        dper = sorted(dsamples)[1]
+        log(f"decode: {dper*1e3:.3f} ms/iter -> {dgb/dper:.2f} GB/s")
     except (Exception, _Timeout) as e:  # decode bench is informational only
         log(f"decode bench skipped: {type(e).__name__} {e}")
     finally:
