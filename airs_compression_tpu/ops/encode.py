@@ -171,6 +171,16 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
     residuals = preprocess.preprocess_forward(
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
     wb = cfg.worst_bits_per_sample
+    if cfg.enc_type == int(EncoderType.UNCOMPRESSED):
+        # fixed 16-bit codes need no tree: word j = (code 2j << 16) | code
+        # 2j+1, exactly the packed layout the tree would produce
+        r = (residuals & 0xFFFF).astype(_U32)
+        if N % 2:
+            r = jnp.concatenate([r, jnp.zeros((B, 1), _U32)], axis=-1)
+        payload = (r[:, 0::2] << _U32(16)) | r[:, 1::2]
+        payload_bits = jnp.full((B,), 16 * N, jnp.int32)
+        return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
+                                id_lo, checksum, n_words)
     if N & (N - 1) == 0 and _use_pallas(B, N, wb):
         # fused TPU fast path: codeword gen + pack in one VMEM kernel
         payload, payload_bits = pallas_pack.pack_residuals_pallas(
