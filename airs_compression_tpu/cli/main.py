@@ -15,6 +15,7 @@ suffix when -o is omitted; decompressed outputs strip it.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..engine.context import CmpContext
@@ -144,6 +145,20 @@ def _decompress_files(output_name, input_files) -> int:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except BrokenPipeError:
+        # downstream closed the pipe (e.g. `airspace-tpu ... | head`):
+        # exit quietly like a C tool dying on SIGPIPE, no traceback
+        try:
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, sys.stdout.fileno())
+        except OSError:
+            pass
+        return 1
+
+
+def _main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     LOG.setup_color()
     LOG.level = INFO
