@@ -160,6 +160,28 @@ def main():
     ratio = float(B * N * 2) / float(np.asarray(sizes).sum())
     log(f"compression ratio on AIRS-like frames: {ratio:.2f}x")
 
+    # correctness gate: the timed kernel's frames must be byte-identical to
+    # the host codec (itself oracle-verified against the reference C lib);
+    # a fast-but-wrong kernel must never post a number
+    from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
+
+    w_np, s_np = np.asarray(words), np.asarray(sizes)
+    frames_u16 = (np.asarray(x).astype(np.uint16))
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        for i in range(4):
+            ref = CmpContext(params).compress_u16(frames_u16[i])
+            dev = w_np[i].astype(">u4").tobytes()[: int(s_np[i])]
+            if dev != ref:
+                log(f"CORRECTNESS FAILURE: device frame {i} != host codec")
+                print(json.dumps({"metric": "encode_gbps_per_chip",
+                                  "value": 0.0, "unit": "GB/s",
+                                  "vs_baseline": 0.0}))
+                return
+    finally:
+        set_timestamp_func(None)
+    log("correctness gate: device frames byte-identical to host codec")
+
     # secondary: decode throughput (sequential per block, parallel across)
     try:
         _alarm(240)
@@ -174,6 +196,13 @@ def main():
             jnp.zeros((dec_B,), jnp.uint32), jnp.zeros((dec_B,), jnp.uint32),
             jnp.zeros((dec_B,), jnp.uint32), dn_words))(dx)
         from airs_compression_tpu.ops.decode import decode_blocks_device
+
+        # correctness gate: the timed decoder must round-trip the frames
+        dsamp, _ = jax.jit(lambda w: decode_blocks_device(
+            dcfg, w, dx, dec_N))(dwords)
+        if not np.array_equal(np.asarray(dsamp), np.asarray(dx)):
+            raise AssertionError("device decode round-trip mismatch")
+        log("correctness gate: device decode round-trips")
 
         def make_dec_loop(n_iter):
             @jax.jit
