@@ -11,17 +11,20 @@ Run from the repo root:  python tools/verify_on_device.py
 Exit code 0 = all frames byte-identical.
 """
 
+import os
 import pathlib
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/airs_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("AIRS_BENCH_CACHE", str(_REPO / ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
@@ -42,50 +45,54 @@ CONFIGS = [
 ]
 
 
+def run_config(conf, B: int = 256, N: int = 512) -> int:
+    """Encode B blocks on the device under one config; return mismatch count."""
+    prep, enc, par, out_p, csum = conf
+    rng = np.random.default_rng(7)
+    params = CmpParams(
+        primary_preprocessing=prep, primary_encoder_type=enc,
+        primary_encoder_param=par, primary_encoder_outlier=out_p,
+        checksum_enabled=csum, uncompressed_fallback_enabled=False)
+    cfg = make_pass_config(params, False, True)
+    nw = worst_case_words(cfg, N)
+    frames = ((1100 + rng.normal(0, 6, (B, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    frames[: B // 4] = rng.integers(0, 1 << 16, (B // 4, N)).astype(np.uint16)
+    frames[-1, :8] = [0, 0xFFFF, 0x8000, 0x7FFF, 1, 0xFFFE, 0x8001, 0x7FFE]
+    x = jnp.asarray(frames.view(np.int16), jnp.int32)
+    zb = jnp.zeros((B,), jnp.int32)
+    zu = jnp.zeros((B,), jnp.uint32)
+    cs = (jnp.asarray([cmp_checksum(f) for f in frames], jnp.uint32)
+          if csum else zu)
+    words, sizes = jax.jit(lambda x, cs: _encode_one_pass(
+        cfg, x, x, zb, zu, zu, cs, nw))(x, cs)
+    words, sizes = np.asarray(words), np.asarray(sizes)
+
+    set_timestamp_func(lambda: (0, 0))  # identifier 0, like the device call
+    try:
+        bad = 0
+        for i in range(B):
+            ctx = CmpContext(params)
+            ref = ctx.compress_u16(frames[i])
+            dev = words[i].astype(">u4").tobytes()[: int(sizes[i])]
+            if dev != ref:
+                bad += 1
+                print(f"MISMATCH {prep.name}/{enc.name} block {i}: "
+                      f"device {len(dev)} B vs host {len(ref)} B",
+                      file=sys.stderr)
+                if bad >= 3:
+                    break
+    finally:
+        set_timestamp_func(None)
+    status = "byte-identical" if not bad else f"{bad} MISMATCHES"
+    print(f"{prep.name:5s}/{enc.name:12s} csum={int(csum)}: "
+          f"{B} blocks {status}", file=sys.stderr)
+    return bad
+
+
 def main(B: int = 256, N: int = 512) -> int:
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
-    rng = np.random.default_rng(7)
-    fails = 0
-    for prep, enc, par, out_p, csum in CONFIGS:
-        params = CmpParams(
-            primary_preprocessing=prep, primary_encoder_type=enc,
-            primary_encoder_param=par, primary_encoder_outlier=out_p,
-            checksum_enabled=csum, uncompressed_fallback_enabled=False)
-        cfg = make_pass_config(params, False, True)
-        nw = worst_case_words(cfg, N)
-        frames = ((1100 + rng.normal(0, 6, (B, N))).astype(np.int64)
-                  & 0xFFFF).astype(np.uint16)
-        frames[: B // 4] = rng.integers(0, 1 << 16, (B // 4, N)).astype(np.uint16)
-        frames[-1, :8] = [0, 0xFFFF, 0x8000, 0x7FFF, 1, 0xFFFE, 0x8001, 0x7FFE]
-        x = jnp.asarray(frames.view(np.int16), jnp.int32)
-        zb = jnp.zeros((B,), jnp.int32)
-        zu = jnp.zeros((B,), jnp.uint32)
-        cs = (jnp.asarray([cmp_checksum(f) for f in frames], jnp.uint32)
-              if csum else zu)
-        words, sizes = jax.jit(lambda x, cs: _encode_one_pass(
-            cfg, x, x, zb, zu, zu, cs, nw))(x, cs)
-        words, sizes = np.asarray(words), np.asarray(sizes)
-
-        set_timestamp_func(lambda: (0, 0))  # identifier 0, like the device call
-        try:
-            bad = 0
-            for i in range(B):
-                ctx = CmpContext(params)
-                ref = ctx.compress_u16(frames[i])
-                dev = words[i].astype(">u4").tobytes()[: int(sizes[i])]
-                if dev != ref:
-                    bad += 1
-                    print(f"MISMATCH {prep.name}/{enc.name} block {i}: "
-                          f"device {len(dev)} B vs host {len(ref)} B",
-                          file=sys.stderr)
-                    if bad >= 3:
-                        break
-            fails += bad
-        finally:
-            set_timestamp_func(None)
-        status = "byte-identical" if not bad else f"{bad} MISMATCHES"
-        print(f"{prep.name:5s}/{enc.name:12s} csum={int(csum)}: "
-              f"{B} blocks {status}", file=sys.stderr)
+    fails = sum(run_config(conf, B, N) for conf in CONFIGS)
     print(f"verify_on_device: {fails} failures", file=sys.stderr)
     return 1 if fails else 0
 
