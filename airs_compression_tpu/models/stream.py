@@ -212,10 +212,12 @@ class BatchCompressor:
 class BatchDecompressor:
     """Device decode of lockstep chains: B frames per call, model carried.
 
-    Mirrors :class:`BatchCompressor` on the decode side.  Frames in one
-    call must share their pass configuration (all primary or all the same
-    secondary pass) — the natural state of lockstep chains; the generic
-    per-block host decoder (engine/decode.py) covers arbitrary streams.
+    Mirrors :class:`BatchCompressor` on the decode side.  Mixed batches
+    (some frames on a primary pass, others secondary — the state after a
+    fallback reset one chain) are handled like the encoder's mixed-phase
+    path: the batch is decoded under both pass configs and selected per
+    block.  The generic per-block host decoder (engine/decode.py) covers
+    arbitrary streams.
     """
 
     def __init__(self, params: CmpParams, batch: int, n_samples: int,
@@ -240,27 +242,35 @@ class BatchDecompressor:
         if len(frames) != self.batch:
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
         hdrs = [CmpHeader.deserialize(f)[0] for f in frames]
-        seqs = {h.sequence_number for h in hdrs}
-        if len(seqs) != 1:
-            raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH,
-                           "mixed sequence numbers in one decode batch")
-        secondary = hdrs[0].sequence_number > 0
-        cfg = self.secondary_cfg if secondary else self.primary_cfg
-        if cfg is None:
+        seq_np = np.asarray([h.sequence_number for h in hdrs], np.int32)
+        any_secondary = bool((seq_np > 0).any())
+        if any_secondary and self.secondary_cfg is None:
             raise CmpError(CmpErrorCode.PARAMS_INVALID)
         n_words = max((len(f) + 3) // 4 for f in frames) + 2
         words = np.zeros((self.batch, n_words), dtype=np.uint32)
         for b, f in enumerate(frames):
             padded = f + b"\x00" * ((-len(f)) % 4)
             words[b, : len(padded) // 4] = np.frombuffer(padded, dtype=">u4")
-        samples, _ = decode_blocks_device(
-            cfg, jnp.asarray(words), self.model, self.n_samples)
-        # model transition identical to the encoder's
+        words_dev = jnp.asarray(words)
+        all_primary = not any_secondary
+        all_secondary = bool((seq_np > 0).all())
+        if all_primary or self.secondary_cfg is None:
+            samples, _ = decode_blocks_device(
+                self.primary_cfg, words_dev, self.model, self.n_samples)
+        elif all_secondary or self.secondary_cfg == self.primary_cfg:
+            samples, _ = decode_blocks_device(
+                self.secondary_cfg, words_dev, self.model, self.n_samples)
+        else:
+            # mixed batch: decode under both configs, select per block
+            s_p, _ = decode_blocks_device(
+                self.primary_cfg, words_dev, self.model, self.n_samples)
+            s_s, _ = decode_blocks_device(
+                self.secondary_cfg, words_dev, self.model, self.n_samples)
+            samples = jnp.where(jnp.asarray(seq_np == 0)[:, None], s_p, s_s)
+        # model transition identical to the encoder's (per-block seq)
         if self.params.model_is_needed():
-            seq_arr = jnp.full((self.batch,),
-                               hdrs[0].sequence_number, jnp.int32)
             self.model = model_update_step(
-                samples, self.model, seq_arr,
+                samples, self.model, jnp.asarray(seq_np),
                 jnp.zeros((self.batch,), bool),
                 self.params.model_rate, self.cmp_type is CmpType.U16)
         out = np.asarray(samples).astype(np.int32).astype(np.uint16)

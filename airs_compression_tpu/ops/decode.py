@@ -127,15 +127,16 @@ def decode_blocks_device(cfg: PassConfig, words: jax.Array, model: jax.Array,
     encoder); ``model`` is consulted only for MODEL preprocessing.
     Returns (samples (B, N) int32 sign-extended i16, end_bitpos (B,) i32).
 
-    On TPU, batches of >= 1024 blocks route through the Pallas slab-
-    pyramid decoder (ops/pallas_decode.py, ~200x faster); the XLA scan
-    below is the reference path for CPU and small batches.
+    On TPU every batch routes through the Pallas slab-pyramid decoder
+    (ops/pallas_decode.py, ~200x faster; small batches are padded to its
+    1024-block tile internally); the XLA scan below is the reference path
+    for CPU.
     """
     import os
 
     B = words.shape[0]
     mode = os.environ.get("AIRS_TPU_DECODER", "auto")
-    if (mode != "xla" and B % 1024 == 0
+    if (mode != "xla"
             and (mode == "pallas" or jax.default_backend() != "cpu")):
         from .pallas_decode import decode_blocks_pallas
 

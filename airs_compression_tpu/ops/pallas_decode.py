@@ -225,16 +225,27 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
                          interpret: bool = False):
     """Drop-in for ``decode_blocks_device`` (same contract) on TPU.
 
-    ``words`` is (B, C) uint32 whole frames (header included); B must be
-    a multiple of 1024.  Returns (samples (B, N) int32, end_bitpos (B,)).
+    ``words`` is (B, C) uint32 whole frames (header included); any B >= 1
+    (batches are padded internally to the 1024-block tile, the kernel's
+    minimum granularity).  Returns (samples (B, N) int32, end_bitpos (B,)).
     """
     B, C_in = words.shape
-    tiles = B // _TILE
+    B_pad = -(-B // _TILE) * _TILE
+    if B_pad != B:
+        # zero frames decode to garbage rows that are sliced away below;
+        # every kernel access is a bounded full-tile select, so padding
+        # rows are structurally safe
+        words = jnp.concatenate(
+            [words, jnp.zeros((B_pad - B, C_in), _U32)], axis=0)
+        model = jnp.concatenate(
+            [model, jnp.zeros((B_pad - B,) + model.shape[1:], model.dtype)],
+            axis=0)
+    tiles = B_pad // _TILE
     # pad so every aligned candidate slice of the top slab is in bounds
     top = 512 if C_in > 640 else (128 if C_in > 160 else 16)
     C_pad = C_in + top
     w = jnp.concatenate(
-        [words, jnp.zeros((B, C_pad - C_in), _U32)], axis=-1)
+        [words, jnp.zeros((B_pad, C_pad - C_in), _U32)], axis=-1)
     w_css = w.reshape(tiles, _SUB, _LANES, C_pad).transpose(0, 3, 1, 2)
 
     kernel, levels = _make_kernel(cfg, n_samples, C_in, C_pad)
@@ -261,18 +272,19 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(w_css)
-    # out[tile, step, s, lane] -> (B, N)
-    vals = out.transpose(0, 2, 3, 1).reshape(B, n_samples)
-    end_pos = endpos.reshape(B)
+    # out[tile, step, s, lane] -> (B, N); padding rows sliced away
+    vals = out.transpose(0, 2, 3, 1).reshape(B_pad, n_samples)[:B]
+    end_pos = endpos.reshape(B_pad)[:B]
 
     if cfg.enc_type == 0:
         residuals = ((vals.astype(jnp.int32) & 0xFFFF) ^ 0x8000) - 0x8000
     else:
         residuals = golomb.unzigzag(vals)
     samples = preprocess.preprocess_inverse(
-        cfg.prep, residuals, model if cfg.prep == 3 else None)
+        cfg.prep, residuals, model[:B] if cfg.prep == 3 else None)
     return samples, end_pos
 
 
 def pallas_decode_supported(B: int) -> bool:
-    return B % _TILE == 0
+    """Any batch size is supported (internal padding to the 1024 tile)."""
+    return B >= 1

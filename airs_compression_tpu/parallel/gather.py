@@ -38,13 +38,18 @@ def assemble_stream(words, sizes) -> bytes:
 
 
 def allgather_sizes(local_sizes: np.ndarray) -> np.ndarray:
-    """All-gather per-block sizes across hosts (no-op single-process)."""
+    """All-gather per-block sizes across hosts (no-op single-process).
+
+    Returns the flat global size vector in block order (process-major:
+    process 0's blocks first), matching StreamManifest's stream order.
+    """
     if jax.process_count() == 1:
         return np.asarray(local_sizes)
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(
+    stacked = np.asarray(multihost_utils.process_allgather(
         np.asarray(local_sizes)))
+    return stacked.reshape(-1)
 
 
 class StreamManifest:

@@ -70,3 +70,45 @@ def test_device_decode_matches_host_decoder():
     bd = BatchDecompressor(params, 1, n)
     dec = bd.decompress_frames([frame])
     np.testing.assert_array_equal(dec[0], data)
+
+
+def test_mixed_seq_batch_decodes_and_advances_models():
+    """A batch mixing primary and secondary frames (the state after a
+    fallback reset one chain) decodes correctly and keeps per-block model
+    state consistent for subsequent secondary frames."""
+    params = CmpParams(
+        primary_preprocessing=Preprocessing.DIFF,
+        primary_encoder_type=EncoderType.GOLOMB_ZERO,
+        primary_encoder_param=2,
+        secondary_iterations=4,
+        secondary_preprocessing=Preprocessing.MODEL,
+        secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+        secondary_encoder_param=3, model_rate=9)
+    rng = np.random.default_rng(99)
+    n = 96
+
+    def frame():
+        return ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+
+    ctx_a = CmpContext(params)
+    a1, a2, a3 = frame(), frame(), frame()
+    fa1, fa2, fa3 = (ctx_a.compress_u16(f) for f in (a1, a2, a3))
+
+    ctx_b = CmpContext(params)
+    b1 = frame()
+    fb1 = ctx_b.compress_u16(b1)
+    # chain b restarts (e.g. after a fallback reset): fresh context
+    ctx_b2 = CmpContext(params)
+    b2, b3 = frame(), frame()
+    fb2, fb3 = (ctx_b2.compress_u16(f) for f in (b2, b3))
+
+    bd = BatchDecompressor(params, 2, n)
+    np.testing.assert_array_equal(bd.decompress_frames([fa1, fb1]),
+                                  np.stack([a1, b1]))
+    # mixed: chain a on seq 1 (secondary), chain b back on seq 0 (primary)
+    np.testing.assert_array_equal(bd.decompress_frames([fa2, fb2]),
+                                  np.stack([a2, b2]))
+    # both secondary again; models must have advanced per block
+    np.testing.assert_array_equal(bd.decompress_frames([fa3, fb3]),
+                                  np.stack([a3, b3]))

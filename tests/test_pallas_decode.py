@@ -59,3 +59,25 @@ def test_matches_xla_decoder_and_roundtrips(params):
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
     np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_pal))
     np.testing.assert_array_equal(np.asarray(s_pal), np.asarray(x))
+
+
+def test_non_tile_batch_is_padded_internally():
+    """Any B >= 1 is accepted; padding rows must not disturb real rows."""
+    Bs = 100  # not a multiple of the 1024-block tile
+    params = CONFIGS[0]
+    rng = np.random.default_rng(5)
+    cfg = make_pass_config(params, False, True)
+    frames = ((1100 + rng.normal(0, 50, (Bs, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    x = jnp.asarray(frames.view(np.int16), jnp.int32)
+    nw = worst_case_words(cfg, N)
+    z = jnp.zeros((Bs,), jnp.int32)
+    zu = jnp.zeros((Bs,), jnp.uint32)
+    words, _ = _encode_one_pass(cfg, x, x, z, zu, zu, zu, nw)
+
+    s_ref, e_ref = decode_blocks_device(cfg, words, x, N)
+    s_pal, e_pal = decode_blocks_pallas(cfg, words, x, N, interpret=True)
+    assert s_pal.shape == (Bs, N) and e_pal.shape == (Bs,)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_pal))
+    np.testing.assert_array_equal(np.asarray(s_pal), np.asarray(x))

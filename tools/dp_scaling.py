@@ -1,0 +1,112 @@
+"""Measured data-parallel scaling curve over a device mesh.
+
+Weak scaling: each device encodes a fixed per-device batch (B0 blocks of
+N samples), so the global batch grows with the mesh; ideal scaling keeps
+the time flat and efficiency = T(1) / T(d).  Correctness is asserted at
+every point (sharded rows must equal the single-device encode).
+
+On the CPU backend with --xla_force_host_platform_device_count=8 the
+"devices" share the host's physical cores, so the curve measures the
+sharded path's overhead and correctness rather than hardware speedup —
+the real curve needs a multi-chip TPU (same code, bigger mesh).  Run:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/dp_scaling.py
+
+Prints one row per mesh size and a final JSON summary line.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from airs_compression_tpu.format.params import CmpParams, EncoderType, Preprocessing
+from airs_compression_tpu.ops.encode import (
+    encode_blocks_device, make_pass_config, worst_case_words)
+from airs_compression_tpu.parallel.dp import encode_blocks_sharded
+from airs_compression_tpu.parallel.mesh import make_mesh
+
+
+def measure(mesh, cfg, n_words, B, N, frames_i32, reps=5):
+    """Median wall time of the sharded encode over ``mesh``."""
+    x = frames_i32
+    zb = np.zeros((B,), np.int32)
+    zu = np.zeros((B,), np.uint32)
+    args = (x, x, zb, zu, zu, zu)
+
+    def run():
+        w, s, _ = encode_blocks_sharded(mesh, cfg, None, *args,
+                                        n_words=n_words)
+        jax.block_until_ready((w, s))
+        return w, s
+
+    words, sizes = run()  # compile + correctness handle
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2], np.asarray(words), np.asarray(sizes)
+
+
+def main():
+    B0 = int(os.environ.get("AIRS_SCALE_B0", "64"))
+    N = int(os.environ.get("AIRS_SCALE_N", "2048"))
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=4)
+    cfg = make_pass_config(params, False, True)
+    n_words = worst_case_words(cfg, N)
+
+    n_dev = jax.device_count()
+    sizes_to_try = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    print(f"backend={jax.default_backend()} devices={n_dev} "
+          f"B0={B0} N={N}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    ref_rows = None
+    for d in sizes_to_try:
+        B = B0 * d
+        frames = ((1100 + rng.normal(0, 6, (B, N))).astype(np.int64)
+                  & 0xFFFF).astype(np.uint16)
+        x = frames.view(np.int16).astype(np.int32)
+        mesh = make_mesh(d)
+        t, words, szs = measure(mesh, cfg, n_words, B, N, x)
+
+        # correctness: rows must equal the single-device encode of the
+        # same blocks (first B0 rows against a 1-device mesh run)
+        if d == 1:
+            ref_rows = (words[:B0].copy(), szs[:B0].copy(), frames[:B0])
+        else:
+            m1 = make_mesh(1)
+            _, w1, s1 = measure(m1, cfg, n_words, B0, N,
+                                x[:B0], reps=1)
+            assert np.array_equal(words[:B0], w1) and \
+                np.array_equal(szs[:B0], s1), f"sharded mismatch at d={d}"
+
+        gbps = B * N * 2 / t / 1e9
+        rows.append({"devices": d, "blocks": B, "ms": round(t * 1e3, 2),
+                     "gbps": round(gbps, 3)})
+        print(f"d={d:2d}  B={B:4d}  {t*1e3:8.2f} ms  {gbps:7.3f} GB/s",
+              file=sys.stderr)
+
+    t1 = rows[0]["ms"]
+    for r in rows:
+        r["weak_efficiency_pct"] = round(100.0 * t1 / r["ms"], 1)
+    print(json.dumps({"metric": "dp_weak_scaling",
+                      "backend": jax.default_backend(), "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
