@@ -60,9 +60,6 @@ class BatchCompressor:
             from ..ops.adapt import DEFAULT_LADDER
 
             self.ladder = tuple(ladder) if ladder else DEFAULT_LADDER
-            if params.uncompressed_fallback_enabled:
-                raise CmpError(CmpErrorCode.PARAMS_INVALID,
-                               "adaptive mode with fallback not supported yet")
         else:
             self.ladder = None
         unsigned = cmp_type is CmpType.U16
@@ -83,7 +80,7 @@ class BatchCompressor:
             from ..ops.encode import adaptive_worst_case_words
 
             for c in (self.primary_cfg, self.secondary_cfg):
-                if c is not None and c.enc_type == 1:
+                if c is not None and c.enc_type in (1, 2):
                     caps.append(adaptive_worst_case_words(c, n_samples,
                                                           self.ladder))
         self.n_words = max(caps)
@@ -144,16 +141,13 @@ class BatchCompressor:
         all_secondary = bool((~primary_mask).all())
 
         def run(cfg):
-            if self.adaptive and cfg.enc_type == 1:  # GOLOMB_ZERO
-                from ..ops.encode import (
-                    adaptive_worst_case_words,
-                    encode_blocks_adaptive,
-                )
+            if self.adaptive and cfg.enc_type in (1, 2):  # ZERO or MULTI
+                from ..ops.encode import encode_blocks_adaptive
 
-                w, s, _g = encode_blocks_adaptive(
-                    cfg, x, self.model, seq_dev, id_hi, id_lo, checksum,
-                    self.n_words, self.ladder)
-                return w, s, jnp.zeros((self.batch,), bool)
+                w, s, fb, _g = encode_blocks_adaptive(
+                    cfg, self.fallback_cfg, x, self.model, seq_dev, id_hi,
+                    id_lo, checksum, self.n_words, self.ladder)
+                return w, s, fb
             return encode_blocks_device(cfg, self.fallback_cfg, x, self.model,
                                         seq_dev, id_hi, id_lo, checksum,
                                         self.n_words)

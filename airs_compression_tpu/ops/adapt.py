@@ -33,7 +33,8 @@ from ..utils.bits import (
 from . import golomb
 
 __all__ = ["DEFAULT_LADDER", "code_lengths_for", "select_golomb_zero",
-           "encode_codewords_dynamic"]
+           "encode_codewords_dynamic", "code_lengths_for_multi",
+           "select_golomb_multi", "encode_codewords_dynamic_multi"]
 
 _U32 = jnp.uint32
 
@@ -84,6 +85,87 @@ def select_golomb_zero(residuals: jax.Array,
     ladder_arr = jnp.asarray(ladder, jnp.int32)
     return ladder_arr[best], jnp.take_along_axis(
         costs, best[..., None], axis=-1)[..., 0]
+
+
+def code_lengths_for_multi(mapped: jax.Array, g_par: int,
+                           caller_outlier: int) -> jax.Array:
+    """Per-block total coded bits under GOLOMB_MULTI with ``g_par``.
+
+    The effective outlier is the caller's choice clamped to the 32-bit
+    codeword upper bound for this parameter (encoder.c:185-224); escapes
+    cost golomb(outlier+level) + (level+1)*2 raw bits (encoder.c:341-374).
+    """
+    g_log2 = int(g_par).bit_length() - 1
+    outlier = min(caller_outlier, golomb_upper_bound(g_par, True, 16))
+    cutoff = (2 << g_log2) - g_par
+    len0 = g_log2 + 1
+    m = mapped.astype(jnp.int32)
+    esc = m >= outlier
+    diff = jnp.where(esc, (m - outlier).astype(_U32), _U32(0))
+    level = jnp.where(diff < _U32(4), _U32(0), golomb.ilog2(diff) >> _U32(1))
+    gv = jnp.where(esc, _U32(outlier) + level, m.astype(_U32))
+    in_g0 = gv < cutoff
+    group = jnp.where(in_g0, _U32(0), (gv - _U32(cutoff)) // _U32(g_par))
+    ln = jnp.where(in_g0, len0, len0 + 1 + group.astype(jnp.int32))
+    ln = ln + jnp.where(esc, (level.astype(jnp.int32) + 1) * 2, 0)
+    return jnp.sum(ln, axis=-1)
+
+
+def select_golomb_multi(residuals: jax.Array, caller_outlier: int,
+                        ladder: "tuple[int, ...]" = DEFAULT_LADDER):
+    """Pick the rate-optimal GOLOMB_MULTI parameter per block.
+
+    Returns (g_par (...,) int32, outlier (...,) int32 the per-parameter
+    clamped escape threshold, total_bits (...,) int32).
+    """
+    mapped = golomb.zigzag(residuals)
+    costs = jnp.stack(
+        [code_lengths_for_multi(mapped, g, caller_outlier) for g in ladder],
+        axis=-1)
+    best = jnp.argmin(costs, axis=-1)
+    ladder_arr = jnp.asarray(ladder, jnp.int32)
+    outliers = jnp.asarray(
+        [min(caller_outlier, golomb_upper_bound(g, True, 16)) for g in ladder],
+        jnp.int32)
+    return (ladder_arr[best], outliers[best],
+            jnp.take_along_axis(costs, best[..., None], axis=-1)[..., 0])
+
+
+def encode_codewords_dynamic_multi(residuals: jax.Array, g_par: jax.Array,
+                                   outlier: jax.Array):
+    """GOLOMB_MULTI codewords with per-block traced parameter + outlier.
+
+    Mirrors ops.golomb.encode_codewords (encoder_type=2) with traced
+    per-block ``g_par``/``outlier`` arrays.  Returns (hi, lo, len) — the
+    up-to-48-bit escape codewords span the (hi, lo) pair.
+    """
+    g = g_par.astype(_U32)[..., None]
+    out = outlier.astype(_U32)[..., None]
+    g_log2 = golomb.ilog2(g)
+    cutoff = (_U32(2) << g_log2) - g
+    len0 = (g_log2 + _U32(1)).astype(jnp.int32)
+
+    m = golomb.zigzag(residuals)
+    esc = m >= out
+    diff = jnp.where(esc, m - out, _U32(0))
+    level = jnp.where(diff < _U32(4), _U32(0), golomb.ilog2(diff) >> _U32(1))
+    gv = jnp.where(esc, out + level, m)
+    # dynamic-parameter Golomb codeword for gv (cw <= 32 bits by clamp)
+    in_g0 = gv < cutoff
+    vg = jnp.where(in_g0, _U32(0), gv - cutoff)
+    group = vg // jnp.maximum(g, _U32(1))
+    rem = vg - group * g
+    unary = jnp.where(group >= _U32(32), _U32(0xFFFFFFFF),
+                      (_U32(1) << jnp.minimum(group, _U32(31))) - _U32(1))
+    sh = jnp.minimum(len0.astype(_U32) + _U32(1), _U32(31))
+    cw_hi = (unary << sh) + (cutoff << _U32(1)) + rem
+    cw = jnp.where(in_g0, gv, cw_hi)
+    ln = jnp.where(in_g0, len0, len0 + 1 + group.astype(jnp.int32))
+    raw_bits = (level + _U32(1)) * _U32(2)  # in [2, 16]
+    hi = jnp.where(esc, cw >> (_U32(32) - raw_bits), _U32(0))
+    lo = jnp.where(esc, (cw << raw_bits) | diff, cw)
+    ln = jnp.where(esc, ln + raw_bits.astype(jnp.int32), ln)
+    return hi, lo, ln
 
 
 def _ilog2_dyn(x: jax.Array) -> jax.Array:

@@ -70,11 +70,14 @@ class PassConfig:
 
     def __init__(self, prep: int, enc_type: int, g_par: int, outlier: int,
                  checksum: bool, model_rate: int, model_needed: bool,
-                 unsigned_model: bool):
+                 unsigned_model: bool, raw_outlier: "int | None" = None):
         self.prep = prep
         self.enc_type = enc_type
         self.g_par = g_par
         self.outlier = outlier
+        # the caller's outlier before the per-parameter upper-bound clamp
+        # (needed by the adaptive tier, which re-clamps per candidate g)
+        self.raw_outlier = outlier if raw_outlier is None else raw_outlier
         self.checksum = checksum
         self.model_rate = model_rate
         self.model_needed = model_needed
@@ -85,7 +88,7 @@ class PassConfig:
     def _key(self):
         return (self.prep, self.enc_type, self.g_par, self.outlier,
                 self.checksum, self.model_rate, self.model_needed,
-                self.unsigned_model)
+                self.unsigned_model, self.raw_outlier)
 
     def __hash__(self):
         return hash(self._key())
@@ -109,7 +112,8 @@ def make_pass_config(params: CmpParams, secondary: bool,
     outlier = derive_encoder_outlier(int(enc_t), enc_p, out_p)
     return PassConfig(int(prep), int(enc_t), enc_p, outlier,
                       bool(params.checksum_enabled), params.model_rate,
-                      params.model_is_needed(), unsigned_model)
+                      params.model_is_needed(), unsigned_model,
+                      raw_outlier=out_p)
 
 
 def worst_case_words(cfg: PassConfig, n: int) -> int:
@@ -327,46 +331,74 @@ def model_update_step(x: jax.Array, model: jax.Array, seq: jax.Array,
     return jnp.where(fell_back[:, None], x, seeded)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_words", "ladder"))
-def encode_blocks_adaptive(cfg: PassConfig, x: jax.Array, model: jax.Array,
-                           seq: jax.Array, id_hi: jax.Array,
-                           id_lo: jax.Array, checksum: jax.Array,
-                           n_words: int, ladder: "tuple[int, ...]"):
+@functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg",
+                                              "n_words", "ladder"))
+def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
+                           model: jax.Array, seq: jax.Array,
+                           id_hi: jax.Array, id_lo: jax.Array,
+                           checksum: jax.Array, n_words: int,
+                           ladder: "tuple[int, ...]"):
     """Adaptive-rate engine pass: per-block Golomb parameter selection.
 
-    Like encode_blocks_device but the GOLOMB_ZERO parameter is chosen
-    per block from the post-preprocessing residual statistics (exact
-    rate argmin over a static candidate ladder, ops/adapt.py); the chosen
-    parameter and its derived outlier travel in each block's header, so
-    the output is ordinary AIRSPACE bitstream.
+    Like encode_blocks_device but the Golomb parameter (ZERO or MULTI) is
+    chosen per block from the post-preprocessing residual statistics
+    (exact rate argmin over a static candidate ladder, ops/adapt.py); the
+    chosen parameter and its derived outlier travel in each block's
+    header, so the output is ordinary AIRSPACE bitstream.  The optional
+    uncompressed fallback composes exactly as in the fixed-rate engine
+    (probe criterion cmp.c:362-372, reduced to a size comparison).
 
-    Returns (words, sizes, g_selected (B,) int32).
+    Returns (words, sizes, fell_back (B,) bool, g_selected (B,) int32).
     """
     from . import adapt
 
-    assert cfg.enc_type == int(EncoderType.GOLOMB_ZERO), \
-        "adaptive selection implemented for GOLOMB_ZERO"
+    assert cfg.enc_type in (int(EncoderType.GOLOMB_ZERO),
+                            int(EncoderType.GOLOMB_MULTI)), \
+        "adaptive selection requires a Golomb encoder"
     B, N = x.shape
     residuals = preprocess.preprocess_forward(
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
-    g_sel, _bits = adapt.select_golomb_zero(residuals, ladder)
-    hi, lo, lens = adapt.encode_codewords_dynamic(residuals, g_sel)
-    # derived outlier for the header (same formulas as the codeword gen)
-    g = g_sel.astype(_U32)
-    g_log2 = golomb.ilog2(g)
-    cutoff = (_U32(2) << g_log2) - g
-    opt = cutoff + _U32(16) * g - _U32(1)
-    upper = cutoff + (_U32(32) - (g_log2 + _U32(1))) * g
-    outlier_dyn = jnp.minimum(opt, upper)
-    worst_bits = int(max(ladder)).bit_length() - 1 + 17
+    if cfg.enc_type == int(EncoderType.GOLOMB_ZERO):
+        g_sel, _bits = adapt.select_golomb_zero(residuals, ladder)
+        hi, lo, lens = adapt.encode_codewords_dynamic(residuals, g_sel)
+        # derived outlier for the header (same formulas as the codeword gen)
+        g = g_sel.astype(_U32)
+        g_log2 = golomb.ilog2(g)
+        cutoff = (_U32(2) << g_log2) - g
+        opt = cutoff + _U32(16) * g - _U32(1)
+        upper = cutoff + (_U32(32) - (g_log2 + _U32(1))) * g
+        outlier_dyn = jnp.minimum(opt, upper)
+    else:  # GOLOMB_MULTI
+        g_sel, outlier_sel, _bits = adapt.select_golomb_multi(
+            residuals, cfg.raw_outlier, ladder)
+        hi, lo, lens = adapt.encode_codewords_dynamic_multi(
+            residuals, g_sel, outlier_sel)
+        outlier_dyn = outlier_sel.astype(_U32)
+    worst_bits = adaptive_worst_bits(cfg, ladder)
     words, sizes = _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo,
                                   checksum, n_words, worst_bits,
                                   enc_param_dyn=g_sel, outlier_dyn=outlier_dyn)
-    return words, sizes, g_sel.astype(jnp.int32)
+    if fallback_cfg is not None:
+        unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
+        fell_back = sizes > unc_size
+        fb_words, fb_sizes = _encode_one_pass(
+            fallback_cfg, x, model, jnp.zeros_like(seq), id_hi, id_lo,
+            checksum, n_words)
+        words = jnp.where(fell_back[:, None], fb_words, words)
+        sizes = jnp.where(fell_back, fb_sizes, sizes)
+    else:
+        fell_back = jnp.zeros((B,), bool)
+    return words, sizes, fell_back, g_sel.astype(jnp.int32)
+
+
+def adaptive_worst_bits(cfg: PassConfig, ladder: "tuple[int, ...]") -> int:
+    """Static per-sample worst-case bits across the candidate ladder."""
+    if cfg.enc_type == int(EncoderType.GOLOMB_MULTI):
+        return 48  # 32-bit escape codeword + 16 raw bits
+    return int(max(ladder)).bit_length() - 1 + 17
 
 
 def adaptive_worst_case_words(cfg: PassConfig, n: int,
                               ladder: "tuple[int, ...]") -> int:
-    worst = int(max(ladder)).bit_length() - 1 + 17
-    bits = cfg.hdr_bits + worst * n + 7 + 32
+    bits = cfg.hdr_bits + adaptive_worst_bits(cfg, ladder) * n + 7 + 32
     return (bits + 31) // 32 + 1
