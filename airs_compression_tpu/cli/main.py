@@ -83,6 +83,19 @@ def _log_summary(input_files, total_in: int, output_name: str,
             f"({vi:.{pi}f}{si} => {vo:.{po}f}{so})\n")
 
 
+# One AIRSPACE block holds at most 2^24-1 packed bytes (lib/cmp_header.h:19);
+# bigger files are chunked into a batch of blocks and encoded on device.
+_MAX_SINGLE_BLOCK_BYTES = (1 << 24) - 1
+
+
+def _use_chunked(samples, params: CmpParams) -> bool:
+    if params.secondary_iterations:
+        return False  # model chains across files need the one-context path
+    if os.environ.get("AIRS_TPU_CLI_CHUNKED") == "1":
+        return True
+    return samples.nbytes > _MAX_SINGLE_BLOCK_BYTES
+
+
 def _compress_files(output_name, input_files, params: CmpParams) -> int:
     try:
         ctx = CmpContext(params)  # ONE context: model chains across files
@@ -97,7 +110,17 @@ def _compress_files(output_name, input_files, params: CmpParams) -> int:
         last_output = out_name
         try:
             samples = fileio.load_be16(name)
-            compressed = ctx.compress_u16(samples)
+            if _use_chunked(samples, params):
+                # files beyond the single-block format limit (the reference
+                # CLI errors on these): chunk into independent blocks and
+                # batch-encode them on the device
+                from ..models.chunked import compress_chunked
+
+                LOG.debug(f"{name}: chunked device compression "
+                          f"({samples.nbytes} bytes)")
+                compressed = compress_chunked(params, samples)
+            else:
+                compressed = ctx.compress_u16(samples)
             fileio.save_bytes(out_name, compressed)
         except (FileError, CmpError) as e:
             LOG.error(str(e))

@@ -1,0 +1,91 @@
+"""Chunked whole-file compression through the device pipeline.
+
+The reference CLI compresses each input file as ONE block through one
+context (programs/airspacecli.c:148-191, programs/file.c:435-488), which
+caps a file at the 2^24-1-byte header field (lib/cmp_header.h:19).  This
+module extends that to arbitrarily large inputs the TPU-native way: the
+sample stream is split into fixed-size chunks, each chunk becomes an
+ordinary self-delimiting AIRSPACE block, and batches of chunks are encoded
+in parallel on the device (models/stream.BatchCompressor).  The output is
+a plain concatenated AIRSPACE stream — exactly what the reference CLI
+produces for a file *list* — so any format decoder reassembles the
+original stream.
+
+Byte parity: with the same chunk grid, the output is bit-identical to
+feeding the chunks through one host ``CmpContext`` sequentially (the
+reference's one-context-per-file-list semantics): every chunk runs a
+primary pass with a fresh identifier drawn in block order, including the
+context-initialisation draw (cmp.c:203-208).  One caveat: when a block
+falls back to uncompressed, its two extra identifier draws (cmp.c:380-392)
+happen after the whole batch's primary draws rather than interleaved, so
+identifier *values* (timestamps in production) can differ from a strictly
+sequential host run on fallback-heavy data — the coding bytes never do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..engine import context as _context
+from ..format.dtypes import CmpType
+from ..format.errors import CmpError, CmpErrorCode
+from ..format.params import CmpParams
+from .stream import BatchCompressor
+
+__all__ = ["compress_chunked", "DEFAULT_CHUNK_SAMPLES", "DEFAULT_BATCH"]
+
+# 2^21 samples = 4 MiB packed per block: far below the 2^24-1-byte header
+# limit, large enough that per-block header overhead (<= 22 B) is noise.
+DEFAULT_CHUNK_SAMPLES = 1 << 21
+DEFAULT_BATCH = 16
+
+
+def compress_chunked(params: CmpParams, samples_u16,
+                     chunk_samples: int = DEFAULT_CHUNK_SAMPLES,
+                     batch: int = DEFAULT_BATCH,
+                     compressor_cls=BatchCompressor) -> bytes:
+    """Compress one long u16 sample stream as concatenated AIRSPACE blocks.
+
+    Chunks are independent primary-pass blocks (a chunk grid has no frame
+    repetition, so model chains do not apply); ``params`` must therefore
+    not request secondary iterations.  Full-size chunks are encoded on
+    device ``batch`` at a time; the tail remainder goes through the host
+    context.  Returns the concatenated stream.
+    """
+    params.validate()
+    if params.secondary_iterations:
+        raise CmpError(
+            CmpErrorCode.PARAMS_INVALID,
+            "chunked file compression uses independent primary blocks; "
+            "model chains across chunks are not meaningful")
+    x = np.ascontiguousarray(np.asarray(samples_u16, dtype=np.uint16))
+    n = x.size
+    if n == 0:
+        raise CmpError(CmpErrorCode.SRC_SIZE_WRONG, "empty input")
+    if 2 * chunk_samples > (1 << 24) - 1:
+        raise CmpError(CmpErrorCode.HDR_ORIGINAL_TOO_LARGE,
+                       "chunk exceeds the 24-bit original_size field")
+
+    # Create the host context FIRST: its initialisation identifier draw
+    # (cmp.c:203-208) lands in the same slot as the reference one-context
+    # run's, keeping the whole stream bit-identical; each chunk then draws
+    # one identifier in block order (batched blocks inside
+    # BatchCompressor, the tail inside compress_u16's engine reset).
+    from ..engine.context import CmpContext
+
+    tail_ctx = CmpContext(params)
+
+    n_full = n // chunk_samples
+    out: list[bytes] = []
+    pos = 0
+    i = 0
+    while i < n_full:
+        b = min(batch, n_full - i)
+        bc = compressor_cls(params, b, chunk_samples)
+        frames = x[pos : pos + b * chunk_samples].reshape(b, chunk_samples)
+        out.extend(bc.compress_frames(frames))
+        pos += b * chunk_samples
+        i += b
+    if pos < n:  # remainder block via the host codec
+        out.append(tail_ctx.compress_u16(x[pos:]))
+    return b"".join(out)

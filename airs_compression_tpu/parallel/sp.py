@@ -6,6 +6,14 @@ axis over the mesh.  Communication pattern (all over ICI):
 
 * DIFF preprocessing needs a 1-sample halo — the previous shard's last
   sample — exchanged with ``ppermute``.
+* IWT (reference lib/compress/preprocess.c:140-221) needs per-level halos:
+  each lifting level's odd (detail) and even (approximation) passes each
+  read one subsequence neighbor across the shard boundary, so a level is
+  four 1-element ``ppermute`` exchanges.  Once the subsequence is down to
+  one element per shard the remaining (tiny) levels are computed
+  redundantly on every shard from one small ``all_gather``.
+* MODEL preprocessing is elementwise — the model state shards with the
+  stream; no communication.
 * Per-shard codeword bit lengths are ``all_gather``-ed to derive each
   shard's absolute bit offset in the single payload (an exclusive scan of
   D scalars).
@@ -13,10 +21,12 @@ axis over the mesh.  Communication pattern (all over ICI):
   stream by (offset mod 32): the result lands on the global 32-bit word
   grid starting at word offset/32.  Adjacent shards overlap in exactly one
   boundary word, OR-merged during assembly.
+* The XXH32 checksum is accumulated shard-by-shard with the streaming
+  state (utils/xxh32.XXH32State) — no full-stream replay on any host.
 
-MODEL preprocessing is elementwise (no halo).  IWT needs per-level halos
-and is intentionally kept intra-block (use data parallelism for many IWT
-blocks instead).
+:class:`LongStreamCompressor` carries the multi-pass chain state
+(sequence number, identifier, model) with the exact semantics of one
+reference context (cmp.c:213-393), including the uncompressed fallback.
 """
 
 from __future__ import annotations
@@ -27,35 +37,114 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..format.errors import CmpError, CmpErrorCode
-from ..format.header import CmpHeader
+from ..format.header import CMP_HDR_SIZE, CmpHeader
 from ..format.params import CmpParams, EncoderType, Preprocessing
 from ..ops import bitpack, golomb
 from ..ops.encode import make_pass_config
-from ..ops.preprocess import wrap16
-from ..utils.xxh32 import cmp_checksum
+from ..ops.preprocess import model_forward, model_update, wrap16
+from ..ops.preprocess import _iwt_level as _iwt_level_local
+from ..utils.xxh32 import cmp_checksum_chunked
 
-__all__ = ["compress_long_stream"]
+__all__ = ["compress_long_stream", "LongStreamCompressor"]
 
 
-def _shard_encode(x_loc, prev_last, cfg):
-    """Per-shard: diff-with-halo -> codewords -> local pack -> global shift."""
-    axis = "sp"
+# -- sharded IWT -----------------------------------------------------------
+
+def _halo_from_left(v, axis, D):
+    """Each shard receives the previous shard's ``v`` (ring shift right)."""
+    return jax.lax.ppermute(v, axis, [(i, (i + 1) % D) for i in range(D)])
+
+
+def _halo_from_right(v, axis, D):
+    """Each shard receives the next shard's ``v`` (ring shift left)."""
+    return jax.lax.ppermute(v, axis, [(i, (i - 1) % D) for i in range(D)])
+
+
+def _iwt_level_sharded(xs, axis, D):
+    """One lifting level over a sharded subsequence (local view (m_loc,)).
+
+    Bit-identical to ops.preprocess._iwt_level on the concatenated global
+    subsequence: the odd (detail) pass reads original neighbors, the even
+    (approximation) pass reads detail-updated neighbors, so each pass
+    exchanges one boundary element in each direction.  The global-edge
+    special cases (j == 0 / j == m-1, reference preprocess.c:147-171)
+    apply only on the first/last shard and mask out the wrapped halos.
+    """
+    m_loc = xs.shape[-1]
+    m = m_loc * D
     d = jax.lax.axis_index(axis)
+    j = d * m_loc + jnp.arange(m_loc)          # global subsequence index
+    is_odd = (j & 1) == 1
+    left = jnp.concatenate([_halo_from_left(xs[-1:], axis, D), xs[:-1]])
+    right = jnp.concatenate([xs[1:], _halo_from_right(xs[:1], axis, D)])
+    det = jnp.where(j == m - 1, xs - left, xs - ((left + right) >> 1))
+    y = jnp.where(is_odd, wrap16(det), xs)
+    yl = jnp.concatenate([_halo_from_left(y[-1:], axis, D), y[:-1]])
+    yr = jnp.concatenate([y[1:], _halo_from_right(y[:1], axis, D)])
+    app = xs + ((yl + yr) >> 2)
+    app = jnp.where(j == 0, xs + (yr >> 1), app)
+    app = jnp.where(j == m - 1, xs + (yl >> 1), app)
+    return jnp.where(is_odd, y, wrap16(app))
 
+
+def _iwt_forward_sharded(x_loc, axis, D, n):
+    """Multi-level IWT of a length-n stream sharded as (n/D,) per device.
+
+    Levels with >= 2 subsequence elements per shard run locally with halo
+    exchanges; the remaining subsequence (exactly D elements when n/D is a
+    power of two) is all-gathered once and the deep levels are computed
+    redundantly per shard — O(D) elements of compute and communication.
+    """
+    L = x_loc.shape[-1]
+    out = x_loc
+    s = 1
+    while s < n and L % s == 0 and L // s >= 2:
+        out = out.at[::s].set(_iwt_level_sharded(out[::s], axis, D))
+        s <<= 1
+    if s < n:
+        m_loc = L // s                          # == 1 for power-of-two L
+        sub = out[::s]
+        g = jax.lax.all_gather(sub, axis).reshape(-1)   # (n // s,)
+        t = s
+        while t < n:
+            st = t // s
+            g = g.at[::st].set(_iwt_level_local(g[::st], inverse=False))
+            t <<= 1
+        d = jax.lax.axis_index(axis)
+        mine = jax.lax.dynamic_slice(g, (d * m_loc,), (m_loc,))
+        out = out.at[::s].set(mine)
+    return out
+
+
+# -- sharded residual computation -------------------------------------------
+
+def _shard_residuals(cfg, x_loc, model_loc, axis, D, n):
+    """Per-shard preprocessing under ``cfg`` (all four methods)."""
+    if cfg.prep == int(Preprocessing.NONE):
+        return x_loc
     if cfg.prep == int(Preprocessing.DIFF):
+        d = jax.lax.axis_index(axis)
+        prev_last = _halo_from_left(x_loc[-1:], axis, D)
         prev = jnp.concatenate([prev_last, x_loc[:-1]])
         res = wrap16(x_loc - prev)
         # the very first sample of the stream is stored raw (d[0]=x[0])
-        res = jnp.where((d == 0) & (jnp.arange(x_loc.shape[0]) == 0),
-                        wrap16(x_loc), res)
-    elif cfg.prep == int(Preprocessing.NONE):
-        res = x_loc
-    else:
-        raise ValueError("long-stream mode supports NONE/DIFF preprocessing")
+        return jnp.where((d == 0) & (jnp.arange(x_loc.shape[0]) == 0),
+                         wrap16(x_loc), res)
+    if cfg.prep == int(Preprocessing.IWT):
+        return _iwt_forward_sharded(x_loc, axis, D, n)
+    if cfg.prep == int(Preprocessing.MODEL):
+        return model_forward(x_loc, model_loc)
+    raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                   f"unknown preprocessing {cfg.prep}")
 
+
+def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
+    """Per-shard: residuals -> codewords -> local pack -> global shift."""
+    d = jax.lax.axis_index(axis)
+    res = _shard_residuals(cfg, x_loc, model_loc, axis, D, n)
     hi, lo, lens = golomb.encode_codewords(res, cfg.enc_type, cfg.g_par,
                                            cfg.outlier)
     n_loc = lens.shape[-1]
@@ -88,12 +177,36 @@ def _shard_encode(x_loc, prev_last, cfg):
     return out_words, offset // 32, local_bits, total_payload_bits
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool):
+    """Build (and cache) the jitted shard_map encode program."""
+    (axis,) = mesh.axis_names
+    D = mesh.devices.size
+
+    specs = (P(axis),) if not needs_model else (P(axis), P(axis))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=specs,
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)))
+    def run(x_sh, model_sh=None):
+        w, w0, lbits, tbits = _shard_encode(x_sh, model_sh, cfg, axis, D, n)
+        return w[None], w0[None], lbits[None], tbits[None]
+
+    return run
+
+
 def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
-                         identifier: int = 0, sequence_number: int = 0):
+                         identifier: int = 0, sequence_number: int = 0,
+                         model=None, secondary: bool = False):
     """Compress ONE long u16 stream as a single AIRSPACE block, sharded.
 
-    ``samples_u16`` length must divide evenly by the mesh size.  Returns
-    the complete frame bytes (bit-identical to the single-device encoder).
+    ``samples_u16`` length must divide evenly by the mesh size (and the
+    per-shard length must be a power of two for IWT).  ``model`` supplies
+    the model state for MODEL preprocessing (i16-valued array of the same
+    length); ``secondary`` selects the pass parameters (cmp.c:228-248).
+    Returns the complete frame bytes (bit-identical to the single-device
+    encoder).  For chain semantics use :class:`LongStreamCompressor`.
     """
     params.validate()
     x_np = np.ascontiguousarray(np.asarray(samples_u16, dtype=np.uint16))
@@ -105,28 +218,26 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
                        f"stream length {n} not divisible by mesh size {D}")
     if 2 * n > (1 << 24) - 1:
         raise CmpError(CmpErrorCode.HDR_ORIGINAL_TOO_LARGE)
-    cfg = make_pass_config(params, False, True)
-    if cfg.prep not in (0, 1):
+    cfg = make_pass_config(params, secondary, True)
+    if cfg.prep == int(Preprocessing.IWT):
+        L = n // D
+        if L & (L - 1):
+            raise CmpError(
+                CmpErrorCode.SRC_SIZE_WRONG,
+                f"IWT long-stream mode needs a power-of-two shard length, "
+                f"got {n}/{D}={L}")
+    needs_model = cfg.prep == int(Preprocessing.MODEL)
+    if needs_model and model is None:
         raise CmpError(CmpErrorCode.PARAMS_INVALID,
-                       "long-stream mode supports NONE/DIFF preprocessing")
+                       "MODEL preprocessing requires model state")
 
-    n_loc = n // D
-
-    x = jnp.asarray(x_np.view(np.int16), jnp.int32).reshape(D, n_loc)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(axis, None),),
-        out_specs=(P(axis, None), P(axis), P(axis), P(axis)))
-    def run(x_sh):
-        x_loc = x_sh[0]
-        # halo: previous shard's last sample (ppermute ring shift by +1)
-        last = x_loc[-1:]
-        prev_last = jax.lax.ppermute(
-            last, axis, [(i, (i + 1) % D) for i in range(D)])
-        w, w0, lbits, tbits = _shard_encode(x_loc, prev_last, cfg)
-        return w[None], w0[None], lbits[None], tbits[None]
-
-    words, starts, local_bits, total_bits = run(x)
+    x = jnp.asarray(x_np.view(np.int16), jnp.int32)
+    run = _sharded_encode_program(mesh, cfg, n, needs_model)
+    if needs_model:
+        m = jnp.asarray(np.asarray(model, np.int16), jnp.int32)
+        words, starts, local_bits, total_bits = run(x, m)
+    else:
+        words, starts, local_bits, total_bits = run(x)
     words = np.asarray(words)
     starts = np.asarray(starts)
     payload_bits = int(np.asarray(total_bits)[0])
@@ -144,7 +255,8 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
         compressed_size=size, original_size=2 * n, identifier=identifier,
         sequence_number=sequence_number, preprocessing=cfg.prep,
         checksum_enabled=1 if cfg.checksum else 0, encoder_type=cfg.enc_type,
-        model_rate=0,
+        model_rate=(cfg.model_rate
+                    if cfg.prep == int(Preprocessing.MODEL) else 0),
         encoder_param=cfg.g_par if cfg.enc_type else 0,
         encoder_outlier=cfg.outlier if cfg.enc_type else 0)
 
@@ -157,5 +269,98 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
     frame = bytearray(out.astype(">u4").tobytes()[:size])
     frame[: hdr.size] = hdr.serialize()
     if cfg.checksum:
-        frame[size - 4 : size] = cmp_checksum(x_np).to_bytes(4, "big")
+        # shard-chunked streaming checksum: only 16 bytes of state cross
+        # shard boundaries (multi-host: a D-hop relay, no full gather)
+        csum = cmp_checksum_chunked(x_np.reshape(D, -1))
+        frame[size - 4 : size] = csum.to_bytes(4, "big")
     return bytes(frame)
+
+
+class LongStreamCompressor:
+    """Multi-pass chain over long sharded streams (one reference context).
+
+    Mirrors the engine's pass-selection / fallback / model-update
+    semantics (cmp.c:213-393) for a single block chain whose samples are
+    stream-sharded over ``mesh``:
+
+    * pass selection: seq 0 (or exhausted secondary iterations) runs the
+      primary parameters and reseeds the model with the frame;
+    * the uncompressed fallback triggers exactly when the compressed frame
+      exceeds the uncompressed frame size, resets the chain, and draws two
+      fresh identifiers (cmp.c:380-392 side effects);
+    * the model EMA update (cmp.c:120-129) is elementwise — it shards with
+      the stream and is carried as host state between calls here.
+    """
+
+    def __init__(self, mesh: Mesh, params: CmpParams):
+        params.validate()
+        self.mesh = mesh
+        self.params = params
+        self.seq = 0
+        self.identifier = 0
+        self.model: np.ndarray | None = None
+        self._n: int | None = None
+        # reference cmp_initialise ends in cmp_reset, which draws an
+        # identifier (cmp.c:203-208, :452-465); every primary-pass engine
+        # reset then draws another
+        self.reset()
+
+    def reset(self) -> None:
+        from ..engine import context as _context
+
+        self.seq = 0
+        self.identifier = _context._new_identifier()
+
+    def compress(self, samples_u16) -> bytes:
+        from ..engine import context as _context
+
+        x_np = np.ascontiguousarray(np.asarray(samples_u16, dtype=np.uint16))
+        primary = (self.seq == 0
+                   or self.seq > self.params.secondary_iterations)
+        if primary:
+            self.reset()
+        elif self.params.model_is_needed() and x_np.size != self._n:
+            raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH)
+        secondary = not primary
+        cfg = make_pass_config(self.params, secondary, True)
+        model_in = self.model if cfg.prep == int(Preprocessing.MODEL) else None
+        frame = compress_long_stream(self.mesh, self.params, x_np,
+                                     identifier=self.identifier,
+                                     sequence_number=self.seq,
+                                     model=model_in, secondary=secondary)
+
+        unc_size = CMP_HDR_SIZE + 2 * x_np.size \
+            + (4 if self.params.checksum_enabled else 0)
+        if (self.params.uncompressed_fallback_enabled
+                and len(frame) > unc_size):
+            # reference fallback: generic reset + engine reset draw two
+            # fresh identifiers; frame becomes NONE + UNCOMPRESSED at seq 0
+            for _ in range(2):
+                self.identifier = _context._new_identifier()
+            import dataclasses as _dc
+
+            fb_params = _dc.replace(
+                self.params,
+                primary_preprocessing=Preprocessing.NONE,
+                primary_encoder_type=EncoderType.UNCOMPRESSED)
+            frame = compress_long_stream(self.mesh, fb_params, x_np,
+                                         identifier=self.identifier,
+                                         sequence_number=0)
+            self.model = x_np.view(np.int16).copy()
+            self._n = x_np.size
+            self.seq = 1
+            return frame
+
+        if self.params.model_is_needed():
+            if self.seq == 0:
+                self.model = x_np.view(np.int16).copy()
+            else:
+                upd = model_update(
+                    jnp.asarray(x_np.view(np.int16), jnp.int32),
+                    jnp.asarray(self.model, jnp.int32),
+                    jnp.asarray(self.params.model_rate, jnp.int32),
+                    unsigned=True)
+                self.model = np.asarray(upd, np.int32).astype(np.int16)
+            self._n = x_np.size
+        self.seq += 1
+        return frame

@@ -20,7 +20,8 @@ try:  # fast path
 except Exception:  # pragma: no cover - environment without xxhash
     _xxhash_mod = None
 
-__all__ = ["xxh32", "cmp_checksum", "CHECKSUM_SEED"]
+__all__ = ["xxh32", "cmp_checksum", "cmp_checksum_chunked", "XXH32State",
+           "CHECKSUM_SEED"]
 
 CHECKSUM_SEED = 419764627
 
@@ -76,6 +77,88 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     if _xxhash_mod is not None:
         return _xxhash_mod.xxh32_intdigest(data, seed=seed)
     return _xxh32_py(data, seed)
+
+
+class XXH32State:
+    """Streaming XXH32 (reference xxhash 0.8.3 streaming API semantics).
+
+    Lets the AIRSPACE checksum be accumulated shard-by-shard: in a
+    multi-host long-stream compression each process updates the 16-byte
+    lane state with its local shard's bytes and forwards the state to the
+    next process — no host ever materializes the full stream.  Digests are
+    identical to the one-shot :func:`xxh32`.
+    """
+
+    __slots__ = ("_impl", "_seed", "_acc", "_buf", "_total")
+
+    def __init__(self, seed: int = 0):
+        if _xxhash_mod is not None:
+            self._impl = _xxhash_mod.xxh32(seed=seed)
+            return
+        self._impl = None
+        self._seed = seed & _M
+        self._acc = [(seed + _P1 + _P2) & _M, (seed + _P2) & _M,
+                     seed & _M, (seed - _P1) & _M]
+        self._buf = b""
+        self._total = 0
+
+    def update(self, data: bytes) -> "XXH32State":
+        if self._impl is not None:
+            self._impl.update(data)
+            return self
+        self._total += len(data)
+        data = self._buf + bytes(data)
+        acc = self._acc
+        i, limit = 0, len(data) - 16
+        while i <= limit:
+            for lane in range(4):
+                o = i + 4 * lane
+                acc[lane] = (_rotl(
+                    (acc[lane] + int.from_bytes(data[o : o + 4], "little")
+                     * _P2) & _M, 13) * _P1) & _M
+            i += 16
+        self._buf = data[i:]
+        return self
+
+    def intdigest(self) -> int:
+        if self._impl is not None:
+            return self._impl.intdigest()
+        if self._total >= 16:
+            v1, v2, v3, v4 = self._acc
+            h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+                 + _rotl(v4, 18)) & _M
+        else:
+            h = (self._seed + _P5) & _M
+        h = (h + self._total) & _M
+        data, i, n = self._buf, 0, len(self._buf)
+        while i + 4 <= n:
+            h = (h + int.from_bytes(data[i : i + 4], "little") * _P3) & _M
+            h = (_rotl(h, 17) * _P4) & _M
+            i += 4
+        while i < n:
+            h = (h + data[i] * _P5) & _M
+            h = (_rotl(h, 11) * _P1) & _M
+            i += 1
+        h ^= h >> 15
+        h = (h * _P2) & _M
+        h ^= h >> 13
+        h = (h * _P3) & _M
+        h ^= h >> 16
+        return h
+
+
+def cmp_checksum_chunked(chunks_u16) -> int:
+    """AIRSPACE sample checksum accumulated over per-shard sample chunks.
+
+    Equivalent to ``cmp_checksum(concatenate(chunks))`` without ever
+    concatenating — the streaming state (16 bytes) is all that crosses
+    shard/host boundaries.
+    """
+    st = XXH32State(CHECKSUM_SEED)
+    for chunk in chunks_u16:
+        be = np.ascontiguousarray(chunk, dtype=np.uint16).astype(">u2")
+        st.update(be.tobytes())
+    return st.intdigest()
 
 
 def cmp_checksum(samples_u16: np.ndarray) -> int:
