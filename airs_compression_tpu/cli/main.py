@@ -153,7 +153,8 @@ def _decompress_files(output_name, input_files) -> int:
             blocks = decompress_blocks(stream, CmpType.U16)
             import numpy as np
 
-            samples = np.concatenate([b.samples for b in blocks])
+            samples = (np.concatenate([b.samples for b in blocks])
+                       if blocks else np.zeros(0, np.uint16))
             fileio.save_be16(out_name, samples)
         except (FileError, CmpError) as e:
             LOG.error(str(e))

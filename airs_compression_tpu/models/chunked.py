@@ -34,10 +34,13 @@ from .stream import BatchCompressor
 
 __all__ = ["compress_chunked", "DEFAULT_CHUNK_SAMPLES", "DEFAULT_BATCH"]
 
-# 2^21 samples = 4 MiB packed per block: far below the 2^24-1-byte header
-# limit, large enough that per-block header overhead (<= 22 B) is noise.
-DEFAULT_CHUNK_SAMPLES = 1 << 21
-DEFAULT_BATCH = 16
+# Geometry chosen for the Pallas fast path (ops/pallas_pack.py): the fused
+# VMEM packer wants many lane-aligned blocks of a power-of-two sample
+# count, so a big file becomes LOTS of medium blocks, not a few huge ones.
+# 8192 samples/block keeps per-block header overhead at 0.13%; 2048 blocks
+# per device call = 32 MiB packed per launch.
+DEFAULT_CHUNK_SAMPLES = 8192
+DEFAULT_BATCH = 2048
 
 
 def compress_chunked(params: CmpParams, samples_u16,

@@ -84,6 +84,13 @@ class BatchCompressor:
                     caps.append(adaptive_worst_case_words(c, n_samples,
                                                           self.ladder))
         self.n_words = max(caps)
+        # entropy-clamped Pallas packing (ops/pallas_pack.py): per-config
+        # cap, dropped to None (sticky) if this stream's data overflows it
+        from ..ops.encode import default_cap_bits
+
+        self._cap_bits = {
+            c: default_cap_bits(c)
+            for c in (self.primary_cfg, self.secondary_cfg) if c is not None}
         # per-chain state (host side mirrors of reference cmp_context)
         self.seq = np.zeros(batch, dtype=np.int64)
         self.identifiers = np.zeros(batch, dtype=np.int64)
@@ -148,6 +155,17 @@ class BatchCompressor:
                     cfg, self.fallback_cfg, x, self.model, seq_dev, id_hi,
                     id_lo, checksum, self.n_words, self.ladder)
                 return w, s, fb
+            cap = self._cap_bits.get(cfg)
+            if cap is not None:
+                w, s, fb, ok = encode_blocks_device(
+                    cfg, self.fallback_cfg, x, self.model, seq_dev, id_hi,
+                    id_lo, checksum, self.n_words, cap_bits=cap)
+                if bool(np.asarray(jnp.all(ok))):
+                    return w, s, fb
+                # entropy clamp overflowed for this data: re-encode at full
+                # capacity and stop clamping this config (sticky — data
+                # that overflowed once tends to keep doing it)
+                self._cap_bits[cfg] = None
             return encode_blocks_device(cfg, self.fallback_cfg, x, self.model,
                                         seq_dev, id_hi, id_lo, checksum,
                                         self.n_words)

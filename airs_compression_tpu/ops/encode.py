@@ -116,6 +116,25 @@ def make_pass_config(params: CmpParams, secondary: bool,
                       raw_outlier=out_p)
 
 
+def default_cap_bits(cfg: PassConfig) -> "int | None":
+    """Default entropy clamp for the Pallas packer under ``cfg``.
+
+    Policy: half the worst-case code length (floor 8 bits/code) — several
+    times the entropy of typical detector residuals, so overflows (which
+    cost a transparent full-capacity re-encode) are rare, while the deep
+    tree levels shrink ~2x.  ``AIRS_TPU_PACK_CAP`` overrides: ``off``
+    disables clamping, an integer forces that cap.
+    """
+    mode = os.environ.get("AIRS_TPU_PACK_CAP", "auto")
+    if mode == "off":
+        return None
+    if mode not in ("", "auto"):
+        return int(mode)
+    if cfg.enc_type == int(EncoderType.UNCOMPRESSED):
+        return None
+    return max(8, cfg.worst_bits_per_sample // 2 - 1)
+
+
 def worst_case_words(cfg: PassConfig, n: int) -> int:
     """Static output capacity (32-bit words) for n samples under cfg."""
     bits = cfg.hdr_bits + cfg.worst_bits_per_sample * n + 7 + 32
@@ -161,7 +180,8 @@ def _header_words(cfg: PassConfig, compressed_size, original_size, id_hi,
 
 def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
                      seq: jax.Array, id_hi: jax.Array, id_lo: jax.Array,
-                     checksum: jax.Array, n_words: int):
+                     checksum: jax.Array, n_words: int,
+                     cap_bits: "int | None" = None):
     """Encode (B, N) int32 samples under a static pass config.
 
     Pipeline: preprocess -> closed-form codewords -> doubling-tree payload
@@ -169,7 +189,11 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
     the optional checksum placed by an iota mask.  Everything is shifts,
     selects and concatenations — no gather/scatter.
 
-    Returns (words (B, n_words) u32, size_bytes (B,) i32).
+    Returns (words (B, n_words) u32, size_bytes (B,) i32); with
+    ``cap_bits`` set (entropy-clamped Pallas packing) additionally a
+    (B,) bool ``ok`` — False marks blocks whose payload overflowed the
+    clamped buffers and must be re-encoded at full capacity (their
+    ``size_bytes`` are exact regardless).
     """
     B, N = x.shape
     residuals = preprocess.preprocess_forward(
@@ -183,24 +207,38 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
             r = jnp.concatenate([r, jnp.zeros((B, 1), _U32)], axis=-1)
         payload = (r[:, 0::2] << _U32(16)) | r[:, 1::2]
         payload_bits = jnp.full((B,), 16 * N, jnp.int32)
-        return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
-                                id_lo, checksum, n_words)
+        out = _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
+                               id_lo, checksum, n_words)
+        return out if cap_bits is None else out + (jnp.ones((B,), bool),)
     if N & (N - 1) == 0 and _use_pallas(B, N, wb):
         # fused TPU fast path: codeword gen + pack in one VMEM kernel
-        payload, payload_bits = pallas_pack.pack_residuals_pallas(
-            residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb)
-        return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
-                                id_lo, checksum, n_words)
+        ok = None
+        if cap_bits is not None:
+            payload, payload_bits, ok = pallas_pack.pack_residuals_pallas(
+                residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb,
+                cap_bits=cap_bits)
+        else:
+            payload, payload_bits = pallas_pack.pack_residuals_pallas(
+                residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb)
+        out = _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
+                               id_lo, checksum, n_words)
+        return out if cap_bits is None else out + (ok,)
     hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
                                            cfg.g_par, cfg.outlier)
-    return _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo, checksum,
-                          n_words, wb)
+    out = _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo, checksum,
+                         n_words, wb, cap_bits=cap_bits)
+    return out[:2] if cap_bits is None else out
 
 
 def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
                    checksum, n_words: int, worst_bits: int,
-                   enc_param_dyn=None, outlier_dyn=None):
-    """Pack + frame assembly shared by the static and adaptive encoders."""
+                   enc_param_dyn=None, outlier_dyn=None,
+                   cap_bits: "int | None" = None):
+    """Pack + frame assembly shared by the static and adaptive encoders.
+
+    Always returns (words, sizes, ok); ok is all-True unless an
+    entropy-clamped Pallas pack (``cap_bits``) detected overflow.
+    """
     B, N = lens.shape
     # pad the code count to a power of two with zero-length codes
     K = 1 << (N - 1).bit_length() if N > 1 else 1
@@ -210,15 +248,21 @@ def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
         lo = jnp.concatenate([lo, padw], axis=-1)
         lens = jnp.concatenate([lens, jnp.zeros((B, K - N), jnp.int32)],
                                axis=-1)
+    ok = jnp.ones((B,), bool)
     if _use_pallas(B, K, worst_bits):
-        payload, payload_bits = pallas_pack.pack_codes_tree_pallas(
-            hi, lo, lens, worst_bits)
+        if cap_bits is not None:
+            payload, payload_bits, ok = pallas_pack.pack_codes_tree_pallas(
+                hi, lo, lens, worst_bits, cap_bits=cap_bits)
+        else:
+            payload, payload_bits = pallas_pack.pack_codes_tree_pallas(
+                hi, lo, lens, worst_bits)
     else:
         payload, payload_bits = bitpack.pack_codes_tree(hi, lo, lens,
                                                         worst_bits)
-    return _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
-                            id_lo, checksum, n_words, enc_param_dyn,
-                            outlier_dyn)
+    words, sizes = _assemble_frames(cfg, payload, payload_bits, N, seq,
+                                    id_hi, id_lo, checksum, n_words,
+                                    enc_param_dyn, outlier_dyn)
+    return words, sizes, ok
 
 
 def _assemble_frames(cfg: PassConfig, payload, payload_bits, N: int, seq,
@@ -275,11 +319,12 @@ def _assemble_frames(cfg: PassConfig, payload, payload_bits, N: int, seq,
     return out, size_bytes
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg", "n_words"))
+@functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg",
+                                              "n_words", "cap_bits"))
 def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
                          model: jax.Array, seq: jax.Array, id_hi: jax.Array,
                          id_lo: jax.Array, checksum: jax.Array,
-                         n_words: int):
+                         n_words: int, cap_bits: "int | None" = None):
     """Full engine pass over a batch of blocks.
 
     Args:
@@ -292,14 +337,23 @@ def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
       id_hi, id_lo: (B,) uint32 identifier halves (bits 47..24 / 23..0).
       checksum: (B,) uint32 XXH32 values (zeros when disabled).
       n_words: static output word capacity.
+      cap_bits: optional entropy clamp for the Pallas packer (see
+        ops/pallas_pack.py) — adds a fourth ``pack_ok`` (B,) bool output;
+        re-encode blocks with ``pack_ok == False`` at full capacity.
 
     Returns:
       words (B, n_words) u32 big-endian frames, sizes (B,) i32,
-      fell_back (B,) bool.
+      fell_back (B,) bool [, pack_ok (B,) bool when cap_bits is set].
     """
     B, N = x.shape
-    words, sizes = _encode_one_pass(cfg, x, model, seq, id_hi, id_lo,
-                                    checksum, n_words)
+    if cap_bits is not None:
+        words, sizes, pack_ok = _encode_one_pass(
+            cfg, x, model, seq, id_hi, id_lo, checksum, n_words,
+            cap_bits=cap_bits)
+    else:
+        words, sizes = _encode_one_pass(cfg, x, model, seq, id_hi, id_lo,
+                                        checksum, n_words)
+        pack_ok = None
 
     if fallback_cfg is not None:
         # Probe criterion (cmp.c:362-372): the clamped-capacity run fails
@@ -313,7 +367,11 @@ def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
         sizes = jnp.where(fell_back, fb_sizes, sizes)
     else:
         fell_back = jnp.zeros((B,), bool)
-    return words, sizes, fell_back
+    if pack_ok is None:
+        return words, sizes, fell_back
+    # a block that fell back is served by the (tree-free) uncompressed
+    # frame, so a clamped-pack overflow there is moot
+    return words, sizes, fell_back, pack_ok | fell_back
 
 
 @functools.partial(jax.jit, static_argnames=("model_rate", "unsigned_model"))
@@ -375,9 +433,9 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
             residuals, g_sel, outlier_sel)
         outlier_dyn = outlier_sel.astype(_U32)
     worst_bits = adaptive_worst_bits(cfg, ladder)
-    words, sizes = _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo,
-                                  checksum, n_words, worst_bits,
-                                  enc_param_dyn=g_sel, outlier_dyn=outlier_dyn)
+    words, sizes, _ok = _finish_frames(
+        cfg, hi, lo, lens, seq, id_hi, id_lo, checksum, n_words, worst_bits,
+        enc_param_dyn=g_sel, outlier_dyn=outlier_dyn)
     if fallback_cfg is not None:
         unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
         fell_back = sizes > unc_size

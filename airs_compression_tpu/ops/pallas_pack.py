@@ -52,9 +52,31 @@ _U32 = jnp.uint32
 _LANES = 128  # batch tile width (blocks per grid step)
 _S = 8       # sublane groups (codes per block = 8 * A0)
 
+# Entropy-clamped capacity floor: every merge node keeps this many bits of
+# slack on top of cap_bits * codes.  64 is calibrated to shallow-node
+# clustering: a handful of near-worst codes landing in one small group
+# (measured on AIRS-like frames: m=4..32 groups run up to ~35 bits over
+# cap_bits*m, while a 32-bit floor overflowed ~4% of blocks).
+_CAP_FLOOR_BITS = 64
+
 
 def _ceil_words(bits: int) -> int:
     return (bits + 31) // 32
+
+
+def _node_cap_words(worst_bits: int, cap_bits, m: int) -> int:
+    """Capacity (words) of a merge node holding ``m`` codes.
+
+    Unclamped: the worst case m * worst_bits.  Clamped: a linear entropy
+    budget cap_bits * m plus a fixed floor — typically several times
+    smaller at deep levels, which is where the tree's work lives.  A node
+    whose true bit count exceeds its capacity is detected and flagged
+    (the caller re-encodes those blocks at full capacity).
+    """
+    worst = worst_bits * m
+    if cap_bits is None:
+        return _ceil_words(worst)
+    return _ceil_words(min(worst, _CAP_FLOOR_BITS + cap_bits * m))
 
 
 def _shift_words(ext: jax.Array, q: jax.Array, max_q: int,
@@ -68,16 +90,40 @@ def _shift_words(ext: jax.Array, q: jax.Array, max_q: int,
     C = ext.shape[axis]
     t = 0
     while (1 << t) <= max_q:
-        s = min(1 << t, C)
-        zshape = list(ext.shape)
-        zshape[axis] = s
-        idx = [slice(None)] * ext.ndim
-        idx[axis] = slice(0, C - s)
-        shifted = jnp.concatenate(
-            [jnp.zeros(zshape, ext.dtype), ext[tuple(idx)]], axis=axis)
+        s = 1 << t
+        if s >= C:
+            # a step this large empties the buffer entirely (can only be
+            # taken by overflowed — already flagged — lanes)
+            shifted = jnp.zeros_like(ext)
+        else:
+            zshape = list(ext.shape)
+            zshape[axis] = s
+            idx = [slice(None)] * ext.ndim
+            idx[axis] = slice(0, C - s)
+            shifted = jnp.concatenate(
+                [jnp.zeros(zshape, ext.dtype), ext[tuple(idx)]], axis=axis)
         ext = jnp.where(((q >> t) & 1) == 1, shifted, ext)
         t += 1
     return ext
+
+
+def _preshift_words(ext: jax.Array, q0: int, axis: int) -> jax.Array:
+    """Static word shift toward higher indices by ``q0`` (free at q0=0).
+
+    Every code is at least ``min_code_bits`` long, so a merge node of m
+    codes shifts by at least (min_code_bits*m)>>5 whole words — doing that
+    part statically removes the low barrel-shifter steps.
+    """
+    if q0 <= 0:
+        return ext
+    C = ext.shape[axis]
+    q0 = min(q0, C)
+    zshape = list(ext.shape)
+    zshape[axis] = q0
+    idx = [slice(None)] * ext.ndim
+    idx[axis] = slice(0, C - q0)
+    return jnp.concatenate([jnp.zeros(zshape, ext.dtype), ext[tuple(idx)]],
+                           axis=axis)
 
 
 def _funnel_bits(ext: jax.Array, r: jax.Array, axis: int) -> jax.Array:
@@ -124,86 +170,130 @@ def _level0(hi, lo, ln, worst_bits: int, guard_zero: bool):
 
 
 def _tree_pack_body(hi, lo, ln, worst_bits: int, A0: int, C_final: int,
-                    guard_zero: bool, payload_ref, bits_ref):
-    """Shared kernel body: (A0, 8, 128) codes -> (C_final, 128) stream."""
+                    guard_zero: bool, cap_bits, min_code_bits: int,
+                    payload_ref, bits_ref, ok_ref=None):
+    """Shared kernel body: (A0, 8, 128) codes -> (C_final, 128) stream.
+
+    With ``cap_bits`` set, node buffers are entropy-clamped
+    (:func:`_node_cap_words`) and ``ok_ref`` (1, 128) receives 1 for lanes
+    whose every node fit, 0 where bits were truncated (re-encode those
+    blocks at full capacity — sizes in ``bits_ref`` stay exact either
+    way, they are sums of true code lengths).
+    """
     # ---- phase 1: log2(A0) merge levels on the major code axis --------
     buf = _level0(hi, lo, ln, worst_bits, guard_zero)  # (A0, C0, 8, 128)
-    A, level_bits = A0, worst_bits
+    A, m = A0, 1
+    overflow = None
     while A > 1:
         C = buf.shape[1]
-        C_out = _ceil_words(2 * level_bits)
+        m *= 2
+        C_out = _node_cap_words(worst_bits, cap_bits, m)
         v = buf.reshape(A // 2, 2, C, _S, _LANES)
         a, b = v[:, 0], v[:, 1]
         l2 = ln.reshape(A // 2, 2, _S, _LANES)
         la, lb = l2[:, 0], l2[:, 1]
+        q0 = (min_code_bits * (m // 2)) >> 5
+        # tight bound on a's word length: its true worst case, capped by
+        # its (possibly clamped) buffer capacity
+        max_q = max((min(worst_bits * (m // 2), C * 32) >> 5) - q0, 0)
         ext = _pad_words(b, C_out, axis=1)
-        ext = _shift_words(ext, (la >> 5)[:, None], level_bits >> 5, axis=1)
+        ext = _preshift_words(ext, q0, axis=1)
+        ext = _shift_words(ext, ((la >> 5) - q0)[:, None], max_q, axis=1)
         ext = _funnel_bits(ext, (la & 31)[:, None].astype(_U32), axis=1)
-        buf = _pad_words(a, C_out, axis=1) | ext
+        buf = _pad_words(a, C_out, axis=1)[:, :C_out] | ext[:, :C_out]
         ln = la + lb
+        if cap_bits is not None and C_out * 32 < worst_bits * m:
+            over = jnp.max((ln > C_out * 32).astype(jnp.int32),
+                           axis=(0, 1))  # (128,)
+            overflow = over if overflow is None else overflow | over
         A //= 2
-        level_bits *= 2
 
     # ---- phase 2: peel the 8 sublane streams, 3 list merge levels -----
     groups = [buf[0, :, s, :] for s in range(_S)]       # each (C, 128)
     lens = [ln[0, s, :][None, :] for s in range(_S)]    # each (1, 128)
     while len(groups) > 1:
-        C_out = _ceil_words(2 * level_bits)
+        C = groups[0].shape[0]
+        m *= 2
+        C_out = _node_cap_words(worst_bits, cap_bits, m)
         ng, nl = [], []
+        q0 = (min_code_bits * (m // 2)) >> 5
+        max_q = max((min(worst_bits * (m // 2), C * 32) >> 5) - q0, 0)
         for k in range(0, len(groups), 2):
             la = lens[k]
             ext = _pad_words(groups[k + 1], C_out, axis=0)
-            ext = _shift_words(ext, la >> 5, level_bits >> 5, axis=0)
+            ext = _preshift_words(ext, q0, axis=0)
+            ext = _shift_words(ext, (la >> 5) - q0, max_q, axis=0)
             ext = _funnel_bits(ext, (la & 31).astype(_U32), axis=0)
-            ng.append(_pad_words(groups[k], C_out, axis=0) | ext)
+            ng.append(_pad_words(groups[k], C_out, axis=0)[:C_out]
+                      | ext[:C_out])
             nl.append(la + lens[k + 1])
+            if cap_bits is not None and C_out * 32 < worst_bits * m:
+                over = (nl[-1][0] > C_out * 32).astype(jnp.int32)
+                overflow = over if overflow is None else overflow | over
         groups, lens = ng, nl
-        level_bits *= 2
 
     payload_ref[:] = _pad_words(groups[0], C_final, axis=0)
     bits_ref[:] = lens[0]
+    if ok_ref is not None:
+        if overflow is None:
+            ok_ref[:] = jnp.ones((1, _LANES), jnp.int32)
+        else:
+            ok_ref[:] = (1 - overflow)[None, :]
 
 
-def _codes_kernel(worst_bits: int, A0: int, C_final: int, n_in: int, *refs):
-    in_refs, (payload_ref, bits_ref) = refs[:n_in], refs[n_in:]
+def _codes_kernel(worst_bits: int, A0: int, C_final: int, n_in: int,
+                  cap_bits, *refs):
+    n_out = 2 if cap_bits is None else 3
+    in_refs, out_refs = refs[:n_in], refs[n_in:]
     if n_in == 3:
         hi = in_refs[0][:]
         lo, ln = in_refs[1][:], in_refs[2][:].astype(jnp.int32)
     else:
         hi = None
         lo, ln = in_refs[0][:], in_refs[1][:].astype(jnp.int32)
-    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, True,
-                    payload_ref, bits_ref)
+    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, True, cap_bits,
+                    0, *out_refs)
 
 
 def _residual_kernel(enc_type: int, g_par: int, outlier: int,
-                     worst_bits: int, A0: int, C_final: int,
-                     res_ref, payload_ref, bits_ref):
+                     worst_bits: int, A0: int, C_final: int, cap_bits,
+                     res_ref, *out_refs):
     res = res_ref[:].astype(jnp.int32)  # i16 -> sign-extended i32
     hi, lo, ln = golomb.encode_codewords(res, enc_type, g_par, outlier)
-    # real codes always have len >= 1, so no zero-length guard needed
-    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, False,
-                    payload_ref, bits_ref)
+    # real codes always have len >= len0, letting the merge shifts start
+    # from a static word offset (escapes included: they only add bits)
+    min_bits = (int(g_par).bit_length() if enc_type in (1, 2) else 16)
+    _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, False, cap_bits,
+                    min_bits, *out_refs)
 
 
 def _pallas_pack_call(kernel, ins, B: int, A0: int, C_final: int,
-                      interpret: bool):
+                      interpret: bool, with_ok: bool):
     in_spec = pl.BlockSpec((A0, _S, _LANES), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
-    payload_t, bits = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((C_final, B), _U32),
+                 jax.ShapeDtypeStruct((1, B), jnp.int32)]
+    out_specs = [pl.BlockSpec((C_final, _LANES), lambda i: (0, i),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, _LANES), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    if with_ok:
+        out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, _LANES), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kernel,
         grid=(B // _LANES,),
-        out_shape=(jax.ShapeDtypeStruct((C_final, B), _U32),
-                   jax.ShapeDtypeStruct((1, B), jnp.int32)),
+        out_shape=tuple(out_shape),
         in_specs=[in_spec] * len(ins),
-        out_specs=(pl.BlockSpec((C_final, _LANES), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, _LANES), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
+    payload_t, bits = outs[0], outs[1]
+    if with_ok:
+        return payload_t.transpose(1, 0), bits[0], outs[2][0].astype(bool)
     return payload_t.transpose(1, 0), bits[0]
 
 
@@ -213,9 +303,11 @@ def _css(v: jax.Array) -> jax.Array:
     return v.reshape(B, _S, K // _S).transpose(2, 1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("worst_bits", "interpret"))
+@functools.partial(jax.jit, static_argnames=("worst_bits", "cap_bits",
+                                              "interpret"))
 def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
-                           worst_bits: int, interpret: bool = False):
+                           worst_bits: int, cap_bits: "int | None" = None,
+                           interpret: bool = False):
     """Drop-in for ``bitpack.pack_codes_tree`` on TPU (same contract).
 
     Args:
@@ -223,9 +315,15 @@ def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
       lens: int32 (B, K) bit lengths in [0, worst_bits]; zero-length codes
         contribute nothing (used to pad K).
       worst_bits: static per-code maximum bit length (<= 64).
+      cap_bits: optional entropy clamp — merge-node buffers are sized for
+        cap_bits/code (+ a fixed floor) instead of worst_bits/code, which
+        shrinks the deep levels several-fold on typical data.
 
     Returns:
-      (words (B, C_final) uint32 left-justified stream, total_bits (B,)).
+      (words (B, C_final) uint32 left-justified stream, total_bits (B,)),
+      plus an ``ok`` (B,) bool when ``cap_bits`` is set: False marks
+      blocks whose bits overflowed a clamped node (re-encode those at
+      full capacity; their total_bits are still exact).
 
     Requires K = 8 * 2^k and B % 128 == 0; check with
     :func:`pallas_pack_supported` and fall back to the XLA packer.
@@ -236,14 +334,16 @@ def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
     need_hi = worst_bits > 32
     ins = ([_css(hi)] if need_hi else []) + [_css(lo), _css(lens)]
     kernel = functools.partial(_codes_kernel, worst_bits, A0, C_final,
-                               len(ins))
-    return _pallas_pack_call(kernel, ins, B, A0, C_final, interpret)
+                               len(ins), cap_bits)
+    return _pallas_pack_call(kernel, ins, B, A0, C_final, interpret,
+                             with_ok=cap_bits is not None)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "enc_type", "g_par", "outlier", "worst_bits", "interpret"))
+    "enc_type", "g_par", "outlier", "worst_bits", "cap_bits", "interpret"))
 def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
                           outlier: int, worst_bits: int,
+                          cap_bits: "int | None" = None,
                           interpret: bool = False):
     """Fused codeword generation + packing from int16 residuals.
 
@@ -252,14 +352,17 @@ def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
     the (B, K) int32 residuals are staged as int16 (they are i16 values by
     construction) and codewords are generated on the VPU inside the
     kernel.  Requires K = 8 * 2^k (all codes real) and B % 128 == 0.
+    ``cap_bits`` as in :func:`pack_codes_tree_pallas` (adds an ``ok``
+    output).
     """
     B, K = residuals.shape
     A0 = K // _S
     C_final = _ceil_words(worst_bits * K)
     res16 = _css(residuals.astype(jnp.int16))
     kernel = functools.partial(_residual_kernel, enc_type, g_par, outlier,
-                               worst_bits, A0, C_final)
-    return _pallas_pack_call(kernel, [res16], B, A0, C_final, interpret)
+                               worst_bits, A0, C_final, cap_bits)
+    return _pallas_pack_call(kernel, [res16], B, A0, C_final, interpret,
+                             with_ok=cap_bits is not None)
 
 
 def pallas_pack_supported(B: int, K: int, worst_bits: int) -> bool:

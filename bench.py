@@ -54,7 +54,24 @@ sys.path.insert(0, str(REPO))
 import jax
 import jax.numpy as jnp
 
-_CACHE = os.environ.get("AIRS_BENCH_CACHE", str(REPO / ".jax_cache"))
+def _cpu_fingerprint() -> str:
+    """Host CPU feature hash: jax loads cached XLA AOT executables even
+    when machine features mismatch (observed SIGSEGV after a VM host
+    migration), so the cache directory is keyed by CPU model."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
+_CACHE = os.environ.get(
+    "AIRS_BENCH_CACHE", str(REPO / f".jax_cache_{_cpu_fingerprint()}"))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -141,14 +158,16 @@ def make_frames(B, N, seed=0):
             & 0xFFFF).astype(np.uint16)
 
 
-def make_encode_loop(cfg, n_words, B, N):
+def make_encode_loop(cfg, n_words, B, N, cap_bits=None):
     """One program: dynamic-trip-count serial encode loop.
 
-    Returns (acc, words, sizes) of the final iteration.  Iteration 0 sees
-    the unmodified input (carry starts at 0), so n_iter=1 yields the exact
-    encoder output for the correctness gate; larger n_iter chains a serial
-    data dependency (flip bit 0 of every sample by a parity of the prior
-    output) so XLA cannot collapse the loop.
+    Returns (acc, words, sizes, pack_ok) of the final iteration.
+    Iteration 0 sees the unmodified input (carry starts at 0), so n_iter=1
+    yields the exact encoder output for the correctness gate; larger
+    n_iter chains a serial data dependency (flip bit 0 of every sample by
+    a parity of the prior output) so XLA cannot collapse the loop.
+    ``cap_bits`` selects the entropy-clamped Pallas packer; the gate
+    checks ``pack_ok`` so a clamp overflow can never post a number.
     """
     seq = jnp.zeros((B,), jnp.int32)
     ids = jnp.zeros((B,), jnp.uint32)
@@ -157,23 +176,30 @@ def make_encode_loop(cfg, n_words, B, N):
     @jax.jit
     def loop(x, n_iter):
         def body(i, carry):
-            acc, _, _ = carry
+            acc = carry[0]
             x2 = x ^ (acc[:, None] & jnp.int32(1))
-            words, sizes = _encode_one_pass(cfg, x2, x2, seq, ids, ids,
-                                            csum, n_words)
+            if cap_bits is not None:
+                words, sizes, ok = _encode_one_pass(
+                    cfg, x2, x2, seq, ids, ids, csum, n_words,
+                    cap_bits=cap_bits)
+            else:
+                words, sizes = _encode_one_pass(cfg, x2, x2, seq, ids, ids,
+                                                csum, n_words)
+                ok = jnp.ones((B,), bool)
             acc2 = (jnp.sum(words, axis=-1, dtype=jnp.uint32)
-                    .astype(jnp.int32) + sizes)
-            return (acc2, words, sizes)
+                    .astype(jnp.int32) + sizes + ok.astype(jnp.int32))
+            return (acc2, words, sizes, ok)
 
         init = (jnp.zeros((B,), jnp.int32),
                 jnp.zeros((B, n_words), jnp.uint32),
-                jnp.zeros((B,), jnp.int32))
+                jnp.zeros((B,), jnp.int32),
+                jnp.ones((B,), bool))
         return jax.lax.fori_loop(0, n_iter, body, init)
 
     return loop
 
 
-def measure_loop(loop_fn, first_arg, n_lo, n_hi, reps=3):
+def measure_loop(loop_fn, first_arg, n_lo, n_hi, reps=5):
     """Median per-iteration time via two-trip-count differencing."""
     samples = []
     for _ in range(reps):
@@ -187,6 +213,8 @@ def measure_loop(loop_fn, first_arg, n_lo, n_hi, reps=3):
 
 def stage_encode():
     """Headline encode number + byte-exactness gate.  Returns handles."""
+    from airs_compression_tpu.ops.encode import default_cap_bits
+
     B, N = 256, 8192
     params = headline_params()
     cfg = make_pass_config(params, False, True)
@@ -194,21 +222,33 @@ def stage_encode():
     frames = make_frames(B, N)
     x = jnp.asarray(frames.view(np.int16), jnp.int32)
 
-    loop = make_encode_loop(cfg, n_words, B, N)
+    cap = default_cap_bits(cfg)
+    log(f"encode pack cap_bits={cap} (worst {cfg.worst_bits_per_sample})")
+    loop = make_encode_loop(cfg, n_words, B, N, cap_bits=cap)
     try:
         budget = min(max(remaining() - 600, 120), 1200)
         log(f"compiling encode loop (watchdog {budget:.0f}s)...")
         t0 = time.time()
-        _, words, sizes = with_alarm(budget, lambda: jax.tree_util.tree_map(
-            np.asarray, loop(x, 1)))
+        _, words, sizes, pack_ok = with_alarm(
+            budget, lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
         log(f"encode loop compiled+ran in {time.time()-t0:.1f}s")
+        if cap is not None and not pack_ok.all():
+            log(f"entropy clamp overflowed {int((~pack_ok).sum())} blocks; "
+                "recompiling at full capacity")
+            cap = None
+            loop = make_encode_loop(cfg, n_words, B, N)
+            _, words, sizes, pack_ok = with_alarm(
+                min(max(remaining() - 300, 120), 900),
+                lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
     except _Timeout:
         log("Pallas encode compile timed out; falling back to XLA packer")
         os.environ["AIRS_TPU_PACKER"] = "xla"
+        cap = None
         loop = make_encode_loop(cfg, n_words, B, N)
         budget = min(max(remaining() - 240, 120), 900)
-        _, words, sizes = with_alarm(budget, lambda: jax.tree_util.tree_map(
-            np.asarray, loop(x, 1)))
+        _, words, sizes, pack_ok = with_alarm(
+            budget, lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
+    RESULT["pack_cap_bits"] = cap
 
     # correctness gate: device frames byte-identical to the host codec
     from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
@@ -227,7 +267,7 @@ def stage_encode():
 
     gb = B * N * 2 / 1e9
     per_iter = with_alarm(min(remaining(), 180),
-                          measure_loop, loop, x, 1, 129)
+                          measure_loop, loop, x, 1, 2049, 5)
     gbps = gb / per_iter
     ratio = float(B * N * 2) / float(sizes.sum())
     log(f"encode B={B} N={N}: {per_iter*1e3:.3f} ms/iter -> {gbps:.2f} GB/s"
@@ -292,7 +332,7 @@ def stage_decode():
 
     gb = B * N * 2 / 1e9
     per_iter = with_alarm(min(remaining(), 180),
-                          measure_loop, loop, words, 1, 65)
+                          measure_loop, loop, words, 1, 1025, 5)
     gbps = gb / per_iter
     log(f"decode B={B} N={N}: {per_iter*1e3:.3f} ms/iter -> {gbps:.2f} GB/s")
     RESULT["decode_gbps"] = round(gbps, 3)

@@ -29,5 +29,15 @@ import jax  # noqa: E402
 # when JAX_PLATFORMS=cpu is exported; override it back AFTER jax import so
 # tests really run on the 8-device virtual CPU platform.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/airs_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# No persistent compilation cache for the CPU suite: XLA:CPU executable
+# (de)serialization segfaults on this machine class (observed in both
+# get_executable_and_time and put_executable_and_time after a VM host
+# migration; the loader itself warns that machine-feature mismatches "could
+# lead to execution errors such as SIGILL").  The in-process jit cache
+# still deduplicates compiles within a test run.  Opt back in explicitly
+# with AIRS_TEST_JAX_CACHE=/path if the host is known-stable.
+_cache = os.environ.get("AIRS_TEST_JAX_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

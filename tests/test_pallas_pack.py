@@ -77,6 +77,54 @@ def test_zero_length_padding_codes():
                  pack_codes_tree_pallas(hi, lo, lnj, W, interpret=True))
 
 
+class TestEntropyClamp:
+    """cap_bits clamped packing: parity when it fits, flags when not."""
+
+    def _codes(self, sigma, seed=0, K=1024):
+        rng = np.random.default_rng(seed)
+        res = jnp.asarray(
+            np.clip(rng.normal(0, sigma, (B, K)), -32768, 32767)
+            .astype(np.int32))
+        return golomb.encode_codewords(res, 1, 4, 67), res
+
+    def test_clamped_parity_and_ok(self):
+        (hi, lo, ln), res = self._codes(sigma=8.5)
+        W = 19
+        ref_w, ref_b = map(np.asarray, bitpack.pack_codes_tree(hi, lo, ln, W))
+        w, b, ok = pack_codes_tree_pallas(hi, lo, ln, W, cap_bits=10,
+                                          interpret=True)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(ref_b, np.asarray(b))
+        c = min(ref_w.shape[1], w.shape[1])
+        np.testing.assert_array_equal(ref_w[:, :c], np.asarray(w)[:, :c])
+        # fused variant
+        w2, b2, ok2 = pack_residuals_pallas(res, 1, 4, 67, W, cap_bits=10,
+                                            interpret=True)
+        assert np.asarray(ok2).all()
+        np.testing.assert_array_equal(ref_w[:, :c], np.asarray(w2)[:, :c])
+
+    def test_overflow_flagged_not_silent(self):
+        (hi, lo, ln), _ = self._codes(sigma=8.5, seed=1)
+        rng = np.random.default_rng(2)
+        # rows 0-7: incompressible lengths -> must be flagged
+        ln_np = np.asarray(ln).copy()
+        ln_np[:8] = rng.integers(15, 20, ln_np[:8].shape)
+        lnj = jnp.asarray(ln_np)
+        W = 19
+        w, b, ok = pack_codes_tree_pallas(hi, lo, lnj, W, cap_bits=10,
+                                          interpret=True)
+        ok = np.asarray(ok)
+        assert not ok[:8].any()
+        assert ok[8:].all()
+        # total bits stay exact even for flagged rows
+        np.testing.assert_array_equal(np.asarray(b), ln_np.sum(axis=1))
+        # unflagged rows remain bit-exact
+        ref_w, _ = map(np.asarray,
+                       bitpack.pack_codes_tree(hi, lo, lnj, W))
+        c = min(ref_w.shape[1], w.shape[1])
+        np.testing.assert_array_equal(ref_w[8:, :c], np.asarray(w)[8:, :c])
+
+
 def test_supported_predicate():
     assert pallas_pack_supported(128, 8192, 19)
     assert pallas_pack_supported(512, 16, 48)
