@@ -141,6 +141,28 @@ def worst_case_words(cfg: PassConfig, n: int) -> int:
     return (bits + 31) // 32 + 1
 
 
+def clamped_frame_words(cfg: PassConfig, n: int, cap_bits: "int | None") -> int:
+    """Frame capacity (words) when packing under an entropy clamp.
+
+    With ``cap_bits`` set the payload the Pallas packer can emit is bounded
+    by its root node's clamped capacity (pallas_pack._node_cap_words at
+    m = K), so the frame buffer only needs that plus header/padding/
+    checksum — typically ~2.4x smaller than :func:`worst_case_words`.
+    Blocks whose data exceeds the clamp are flagged ``ok=False`` by the
+    encoder and must be re-encoded at full capacity (exactly the contract
+    the clamp already has).
+    """
+    if cap_bits is None:
+        return worst_case_words(cfg, n)
+    from . import pallas_pack
+
+    K = max(2 * pallas_pack._S, 1 << (n - 1).bit_length())
+    c_payload = pallas_pack._node_cap_words(
+        cfg.worst_bits_per_sample, cap_bits, K)
+    words = (cfg.hdr_bits + 31) // 32 + c_payload + 3  # tail + checksum slack
+    return min(words, worst_case_words(cfg, n))
+
+
 def _header_words(cfg: PassConfig, compressed_size, original_size, id_hi,
                   id_lo, seq, enc_param_dyn=None, outlier_dyn=None):
     """Per-block header directly as big-endian u32 words.

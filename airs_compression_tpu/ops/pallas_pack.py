@@ -330,7 +330,10 @@ def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
     """
     B, K = lens.shape
     A0 = K // _S
-    C_final = _ceil_words(worst_bits * K)
+    # clamped: the root node's capacity IS the output width — the payload
+    # store (the kernel's largest HBM write) shrinks with the clamp, and
+    # overflowed blocks are re-encoded at full capacity anyway
+    C_final = _node_cap_words(worst_bits, cap_bits, K)
     need_hi = worst_bits > 32
     ins = ([_css(hi)] if need_hi else []) + [_css(lo), _css(lens)]
     kernel = functools.partial(_codes_kernel, worst_bits, A0, C_final,
@@ -357,7 +360,7 @@ def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
     """
     B, K = residuals.shape
     A0 = K // _S
-    C_final = _ceil_words(worst_bits * K)
+    C_final = _node_cap_words(worst_bits, cap_bits, K)  # see codes variant
     res16 = _css(residuals.astype(jnp.int16))
     kernel = functools.partial(_residual_kernel, enc_type, g_par, outlier,
                                worst_bits, A0, C_final, cap_bits)

@@ -215,15 +215,20 @@ def stage_encode():
     """Headline encode number + byte-exactness gate.  Returns handles."""
     from airs_compression_tpu.ops.encode import default_cap_bits
 
-    B, N = 256, 8192
+    from airs_compression_tpu.ops.encode import clamped_frame_words
+
+    B, N = 512, 8192
     params = headline_params()
     cfg = make_pass_config(params, False, True)
-    n_words = worst_case_words(cfg, N)
+    n_words_full = worst_case_words(cfg, N)
     frames = make_frames(B, N)
     x = jnp.asarray(frames.view(np.int16), jnp.int32)
 
     cap = default_cap_bits(cfg)
-    log(f"encode pack cap_bits={cap} (worst {cfg.worst_bits_per_sample})")
+    # entropy-sized frame buffer: valid whenever pack_ok holds (gated below)
+    n_words = clamped_frame_words(cfg, N, cap)
+    log(f"encode pack cap_bits={cap} (worst {cfg.worst_bits_per_sample}), "
+        f"frame words {n_words} (worst {n_words_full})")
     loop = make_encode_loop(cfg, n_words, B, N, cap_bits=cap)
     try:
         budget = min(max(remaining() - 600, 120), 1200)
@@ -236,6 +241,7 @@ def stage_encode():
             log(f"entropy clamp overflowed {int((~pack_ok).sum())} blocks; "
                 "recompiling at full capacity")
             cap = None
+            n_words = n_words_full
             loop = make_encode_loop(cfg, n_words, B, N)
             _, words, sizes, pack_ok = with_alarm(
                 min(max(remaining() - 300, 120), 900),
@@ -244,6 +250,7 @@ def stage_encode():
         log("Pallas encode compile timed out; falling back to XLA packer")
         os.environ["AIRS_TPU_PACKER"] = "xla"
         cap = None
+        n_words = n_words_full
         loop = make_encode_loop(cfg, n_words, B, N)
         budget = min(max(remaining() - 240, 120), 900)
         _, words, sizes, pack_ok = with_alarm(
@@ -283,22 +290,31 @@ def stage_decode():
     from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
     from airs_compression_tpu.ops.pallas_decode import decode_blocks_pallas
 
+    from airs_compression_tpu.ops.encode import clamped_frame_words, default_cap_bits
+
     B, N, REP = 1024, 1024, 4
     params = headline_params()
     cfg = make_pass_config(params, False, True)
-    n_words = worst_case_words(cfg, N)
+    # streams live in entropy-sized buffers (the clamped encoder's output
+    # format); fall back to worst-case width if any stream doesn't fit
+    n_words = clamped_frame_words(cfg, N, default_cap_bits(cfg))
 
     # host-encode B//REP unique frames, tile to B (zero device programs)
     frames_u = make_frames(B // REP, N, seed=1)
-    w_np = np.zeros((B // REP, n_words), np.uint32)
+    raws = []
     set_timestamp_func(lambda: (0, 0))
     try:
-        for i, f in enumerate(frames_u):
-            raw = CmpContext(params).compress_u16(f)
-            raw = raw + b"\0" * (n_words * 4 - len(raw))
-            w_np[i] = np.frombuffer(raw, ">u4").astype(np.uint32)
+        for f in frames_u:
+            raws.append(CmpContext(params).compress_u16(f))
     finally:
         set_timestamp_func(None)
+    if max(len(r) for r in raws) > n_words * 4:
+        n_words = worst_case_words(cfg, N)
+    log(f"decode frame words {n_words} (worst {worst_case_words(cfg, N)})")
+    w_np = np.zeros((B // REP, n_words), np.uint32)
+    for i, raw in enumerate(raws):
+        raw = raw + b"\0" * (n_words * 4 - len(raw))
+        w_np[i] = np.frombuffer(raw, ">u4").astype(np.uint32)
     frames = np.tile(frames_u, (REP, 1))
     words = jnp.asarray(np.tile(w_np, (REP, 1)))
     x_ref = frames.view(np.int16).astype(np.int32)

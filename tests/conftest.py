@@ -41,3 +41,20 @@ _cache = os.environ.get("AIRS_TEST_JAX_CACHE")
 if _cache:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables; on
+    this machine class LLVM reliably aborts/segfaults partway through the
+    suite (same spot every run — observed in test_parallel_sp after ~450
+    compiles) while every module passes in isolation.  Clearing the jit
+    caches between modules keeps the in-process compiler state bounded;
+    within a module, caching still deduplicates compiles.
+    """
+    yield
+    jax.clear_caches()

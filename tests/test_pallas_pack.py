@@ -125,6 +125,37 @@ class TestEntropyClamp:
         np.testing.assert_array_equal(ref_w[8:, :c], np.asarray(w)[8:, :c])
 
 
+    def test_clamped_output_width_bounds_stream(self):
+        # the clamped kernel's (narrow) output width is a true capacity:
+        # every ok row's full stream fits inside it, and the frame-level
+        # capacity helper covers header + payload + checksum on top
+        from airs_compression_tpu.format.params import CmpParams, EncoderType, Preprocessing
+        from airs_compression_tpu.ops.encode import (
+            clamped_frame_words,
+            make_pass_config,
+            worst_case_words,
+        )
+
+        (hi, lo, ln), res = self._codes(sigma=8.5, seed=4)
+        W, cap = 19, 10
+        w, b, ok = pack_codes_tree_pallas(hi, lo, ln, W, cap_bits=cap,
+                                          interpret=True)
+        assert np.asarray(ok).all()
+        assert w.shape[1] < bitpack.pack_codes_tree(hi, lo, ln, W)[0].shape[1]
+        assert int(np.asarray(b).max()) <= w.shape[1] * 32
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4)
+        cfg = make_pass_config(params, False, True)
+        n = 1024
+        fw = clamped_frame_words(cfg, n, cap)
+        assert fw < worst_case_words(cfg, n)
+        # header + payload + byte pad + checksum all fit
+        assert fw * 32 >= cfg.hdr_bits + w.shape[1] * 32 + 7 + 32
+        assert clamped_frame_words(cfg, n, None) == worst_case_words(cfg, n)
+
+
 def test_supported_predicate():
     assert pallas_pack_supported(128, 8192, 19)
     assert pallas_pack_supported(512, 16, 48)
