@@ -139,6 +139,17 @@ def _strip_air_suffix(name: str) -> str:
     return name + ".dat"
 
 
+_DEVICE_DECODE_MIN_BYTES = 4 << 20  # route big streams through the device
+
+
+def _use_chunked_decode(stream: bytes) -> bool:
+    if os.environ.get("AIRS_TPU_CLI_CHUNKED") == "1":
+        return True
+    if os.environ.get("AIRS_TPU_CLI_CHUNKED") == "0":
+        return False
+    return len(stream) > _DEVICE_DECODE_MIN_BYTES
+
+
 def _decompress_files(output_name, input_files) -> int:
     total_in = total_out = 0
     last_output = output_name
@@ -150,11 +161,21 @@ def _decompress_files(output_name, input_files) -> int:
         last_output = out_name
         try:
             stream = fileio.load_bytes(name)
-            blocks = decompress_blocks(stream, CmpType.U16)
             import numpy as np
 
-            samples = (np.concatenate([b.samples for b in blocks])
-                       if blocks else np.zeros(0, np.uint16))
+            if _use_chunked_decode(stream):
+                # batches of uniform blocks decode on device (the header-
+                # driven Pallas decoder); chain-dependent blocks fall back
+                # to the host path inside decompress_chunked
+                from ..models.chunked import decompress_chunked
+
+                LOG.debug(f"{name}: chunked device decompression "
+                          f"({len(stream)} bytes)")
+                samples = decompress_chunked(stream, CmpType.U16)
+            else:
+                blocks = decompress_blocks(stream, CmpType.U16)
+                samples = (np.concatenate([b.samples for b in blocks])
+                           if blocks else np.zeros(0, np.uint16))
             fileio.save_be16(out_name, samples)
         except (FileError, CmpError) as e:
             LOG.error(str(e))

@@ -694,8 +694,14 @@ def decode_block(frame: bytes, model_i16: np.ndarray | None = None,
     if hdr.original_size % 2:
         raise CmpError(CmpErrorCode.INT_HDR, "odd original_size")
     block = frame[: hdr.compressed_size]
-    enc_t = EncoderType(hdr.encoder_type)
-    prep = Preprocessing(hdr.preprocessing)
+    try:
+        enc_t = EncoderType(hdr.encoder_type)
+        prep = Preprocessing(hdr.preprocessing)
+    except ValueError:
+        # corrupt method byte (values outside the enums) must surface as
+        # a format error, not a raw ValueError (found by differential fuzz)
+        raise CmpError(CmpErrorCode.INT_HDR,
+                       f"unknown method {hdr.preprocessing}/{hdr.encoder_type}")
 
     if enc_t != EncoderType.UNCOMPRESSED and not (1 <= hdr.encoder_param <= 0xFFFF):
         raise CmpError(CmpErrorCode.PARAMS_INVALID, "bad Golomb parameter in header")

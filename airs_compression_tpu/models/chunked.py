@@ -32,7 +32,8 @@ from ..format.errors import CmpError, CmpErrorCode
 from ..format.params import CmpParams
 from .stream import BatchCompressor
 
-__all__ = ["compress_chunked", "DEFAULT_CHUNK_SAMPLES", "DEFAULT_BATCH"]
+__all__ = ["compress_chunked", "decompress_chunked",
+           "DEFAULT_CHUNK_SAMPLES", "DEFAULT_BATCH"]
 
 # Geometry chosen for the Pallas fast path (ops/pallas_pack.py): the fused
 # VMEM packer wants many lane-aligned blocks of a power-of-two sample
@@ -92,3 +93,112 @@ def compress_chunked(params: CmpParams, samples_u16,
     if pos < n:  # remainder block via the host codec
         out.append(tail_ctx.compress_u16(x[pos:]))
     return b"".join(out)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
+def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
+                       batch: int = DEFAULT_BATCH,
+                       verify_checksum: bool = True) -> np.ndarray:
+    """Decompress a concatenated AIRSPACE stream through the device decoder.
+
+    The device-side counterpart of :func:`compress_chunked` — and the
+    capability the reference CLI stubs out entirely
+    (programs/airspacecli.c:421-423).  Headers are scanned host-side (each
+    block is self-delimiting via ``compressed_size``); maximal runs of
+    same-length blocks that carry no model-chain dependency
+    (preprocessing != MODEL — the only method whose decode consumes prior
+    state) are batched into the header-driven device decoder
+    (models/stream.BatchDecompressor); everything else decodes through the
+    sequential host path with exact chain-state bookkeeping
+    (engine/decode.DecoderState).  Output is the concatenated u16 sample
+    stream, byte-identical to the host decoder's.
+
+    Batches are padded up to a power-of-two block count (duplicating the
+    final frame) so device program shapes — and hence recompiles — are
+    bounded by log2(batch), not by file geometry.
+    """
+    from ..engine.decode import DecoderState
+    from ..engine.host import decode_block
+    from ..format.header import CmpHeader
+    from ..format.params import Preprocessing as _P
+    from ..utils.xxh32 import cmp_checksum
+    from .stream import BatchDecompressor
+
+    n_total = len(stream)
+    blocks: "list[tuple[int, CmpHeader]]" = []  # (offset, header)
+    offset = 0
+    while offset < n_total:
+        hdr, hsz = CmpHeader.deserialize(stream[offset : offset + 22])
+        if hdr.compressed_size < hsz:
+            raise CmpError(CmpErrorCode.INT_HDR, "compressed_size inconsistent")
+        if offset + hdr.compressed_size > n_total:
+            raise CmpError(CmpErrorCode.INT_HDR, "truncated stream")
+        blocks.append((offset, hdr))
+        offset += hdr.compressed_size
+
+    def eligible(h: CmpHeader) -> bool:
+        return (h.preprocessing != int(_P.MODEL)
+                and h.original_size > 0 and h.original_size % 2 == 0)
+
+    out_parts: "list[np.ndarray | None]" = [None] * len(blocks)
+    state = DecoderState(cmp_type)
+    decoders: "dict[tuple[int, int], BatchDecompressor]" = {}
+    i = 0
+    while i < len(blocks):
+        h0 = blocks[i][1]
+        j = i
+        while (j < len(blocks) and eligible(blocks[j][1])
+               and blocks[j][1].original_size == h0.original_size
+               and j - i < batch):
+            j += 1
+        if j - i >= 2:  # a device-worthy run of uniform independent blocks
+            n_samples = h0.original_size // 2
+            frames = [stream[o : o + h.compressed_size]
+                      for o, h in blocks[i:j]]
+            b_pad = min(batch, _next_pow2(len(frames)))
+            frames_padded = frames + [frames[-1]] * (b_pad - len(frames))
+            bd = decoders.get((b_pad, n_samples))
+            if bd is None:
+                # params only steer model bookkeeping, which these
+                # chain-free blocks don't use; decode is header-driven
+                bd = BatchDecompressor(CmpParams(), b_pad, n_samples,
+                                       cmp_type)
+                decoders[(b_pad, n_samples)] = bd
+            decoded = bd.decompress_frames(frames_padded)
+            for k, (o, h) in enumerate(blocks[i:j]):
+                samples = decoded[k]
+                if verify_checksum and h.checksum_enabled:
+                    stored = int.from_bytes(
+                        stream[o + h.compressed_size - 4
+                               : o + h.compressed_size], "big")
+                    calc = cmp_checksum(samples)
+                    if calc != stored:
+                        raise CmpError(
+                            CmpErrorCode.GENERIC,
+                            f"checksum mismatch: stored {stored:#010x} != "
+                            f"computed {calc:#010x}")
+                state.update_after_block(h, samples)
+                out_parts[i + k] = samples
+            i = j
+        else:  # host path: single block, or one that needs chain state
+            o, h = blocks[i]
+            model = None
+            if h.preprocessing == int(_P.MODEL):
+                if h.sequence_number == 0:
+                    raise CmpError(CmpErrorCode.INT_HDR,
+                                   "MODEL preprocessing on a primary pass")
+                model = state.model
+                if model is None:
+                    raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH,
+                                   "MODEL block without chain state")
+            samples, h, _size = decode_block(
+                stream[o : o + h.compressed_size], model, verify_checksum)
+            state.update_after_block(h, samples)
+            out_parts[i] = samples
+            i += 1
+    if not out_parts:
+        return np.zeros(0, np.uint16)
+    return np.concatenate(out_parts)

@@ -116,11 +116,26 @@ class BatchCompressor:
 
     # -- main entry ------------------------------------------------------
     def compress_frames(self, frames) -> "list[bytes]":
-        """Compress one (B, N) u16 frame per chain; returns B AIRSPACE frames."""
+        """Compress one (B, N) frame per chain; returns B AIRSPACE frames.
+
+        Input dtype follows the constructor's ``cmp_type`` (reference
+        sample_reader.h:9-78): U16/I16 take (B, N) 16-bit samples;
+        I16_IN_I32 takes (B, N) int32 words whose low 16 bits are the
+        samples (upper halves ignored; ``original_size`` stays 2N — the
+        *packed* size, sample_reader.h:75-78).
+        """
         import time as _time
 
         _t0 = _time.perf_counter()
-        x_np = np.ascontiguousarray(np.asarray(frames, dtype=np.uint16))
+        if self.cmp_type is CmpType.I16_IN_I32:
+            arr = np.asarray(frames)
+            if arr.dtype.itemsize != 4:
+                raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                               "I16_IN_I32 input must be 32-bit words")
+            x_np = np.ascontiguousarray(
+                (arr & 0xFFFF).astype(np.uint16))
+        else:
+            x_np = np.ascontiguousarray(np.asarray(frames).astype(np.uint16))
         if x_np.shape != (self.batch, self.n_samples):
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
                            f"expected {(self.batch, self.n_samples)}, got {x_np.shape}")
@@ -137,10 +152,21 @@ class BatchCompressor:
         id_lo = jnp.asarray((self.identifiers & 0xFFFFFF).astype(np.uint32))
 
         if self.params.checksum_enabled:
-            csums = np.fromiter(
-                (cmp_checksum(row) for row in x_np), dtype=np.uint32,
-                count=self.batch)
-            checksum = jnp.asarray(csums)
+            import os as _os
+
+            if (jax.default_backend() != "cpu"
+                    or _os.environ.get("AIRS_TPU_XXH32") in ("xla", "pallas")):
+                # batch-parallel on device; the result feeds the encoder
+                # without ever visiting the host (was: a sequential host
+                # loop in the middle of the device pipeline)
+                from ..ops.xxh32_device import checksum_blocks_device
+
+                checksum = checksum_blocks_device(x)
+            else:
+                csums = np.fromiter(
+                    (cmp_checksum(row) for row in x_np), dtype=np.uint32,
+                    count=self.batch)
+                checksum = jnp.asarray(csums)
         else:
             checksum = jnp.zeros((self.batch,), jnp.uint32)
 
@@ -224,12 +250,23 @@ class BatchCompressor:
 class BatchDecompressor:
     """Device decode of lockstep chains: B frames per call, model carried.
 
-    Mirrors :class:`BatchCompressor` on the decode side.  Mixed batches
-    (some frames on a primary pass, others secondary — the state after a
-    fallback reset one chain) are handled like the encoder's mixed-phase
-    path: the batch is decoded under both pass configs and selected per
-    block.  The generic per-block host decoder (engine/decode.py) covers
-    arbitrary streams.
+    Mirrors :class:`BatchCompressor` on the decode side.  The decode
+    configuration of every block is taken from its parsed HEADER — the
+    AIRSPACE header is self-describing (method byte at offset 15, per-
+    block ``encoder_param``/``encoder_outlier`` in the extension,
+    reference lib/common/header.c:89-134, header_private.h:23-31) — so
+    all stream shapes decode correctly on device:
+
+    * mixed primary/secondary batches (the state after a fallback reset
+      one chain) decode under each method group present, selected per
+      block;
+    * uncompressed-fallback frames (NONE + UNCOMPRESSED) take a
+      closed-form slice decode (ops.decode.decode_blocks_uncompressed);
+    * adaptive streams (per-block Golomb parameter in the header,
+      ops/adapt.py) decode in ONE device pass with per-lane parameters.
+
+    The generic per-block host decoder (engine/decode.py) remains the
+    oracle for arbitrary streams.
     """
 
     def __init__(self, params: CmpParams, batch: int, n_samples: int,
@@ -240,46 +277,105 @@ class BatchDecompressor:
         self.n_samples = n_samples
         self.cmp_type = cmp_type
         unsigned = cmp_type is CmpType.U16
+        self.unsigned = unsigned
         self.primary_cfg = make_pass_config(params, False, unsigned)
         self.secondary_cfg = (make_pass_config(params, True, unsigned)
                               if params.secondary_iterations else None)
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
         self.seq = 0
 
+    def _group_cfg(self, prep: int, enc: int, cs: int, g_vals, o_vals):
+        """Decode PassConfig for one header method group.
+
+        Returns (cfg, g_dyn, outlier_dyn); the dynamic arrays are None
+        when the group's parameters are uniform (the common, fastest
+        case — reuses the static-parameter compiled program).  For mixed
+        parameters (adaptive streams), ``cfg.g_par`` is bucketed to the
+        next power of two above the lane maximum, so recompiles are
+        bounded by log2 of the ladder span, not by data content.
+        """
+        from ..ops.encode import PassConfig
+
+        if enc == 0:
+            cfg = PassConfig(prep, 0, 0, 0, bool(cs),
+                             self.params.model_rate, prep == 3,
+                             self.unsigned)
+            return cfg, None, None
+        uniform = (g_vals.min() == g_vals.max()
+                   and o_vals.min() == o_vals.max())
+        if uniform:
+            cfg = PassConfig(prep, enc, int(g_vals[0]), int(o_vals[0]),
+                             bool(cs), self.params.model_rate, prep == 3,
+                             self.unsigned)
+            return cfg, None, None
+        g_cap = 1 << max(int(g_vals.max()) - 1, 0).bit_length()
+        cfg = PassConfig(prep, enc, g_cap, 0, bool(cs),
+                         self.params.model_rate, prep == 3, self.unsigned)
+        return cfg, g_vals, o_vals
+
     def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
         """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""
         from ..format.header import CmpHeader
-        from ..ops.decode import decode_blocks_device
+        from ..ops.decode import (
+            decode_blocks_device,
+            decode_blocks_uncompressed,
+        )
 
         if len(frames) != self.batch:
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
-        hdrs = [CmpHeader.deserialize(f)[0] for f in frames]
+        hdrs = []
+        for f in frames:
+            h, _ = CmpHeader.deserialize(f)
+            if len(f) < h.compressed_size:
+                raise CmpError(CmpErrorCode.INT_HDR,
+                               "frame shorter than header compressed_size")
+            if h.original_size != 2 * self.n_samples:
+                raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH)
+            if h.preprocessing > 3 or h.encoder_type > 2:
+                raise CmpError(CmpErrorCode.INT_HDR,
+                               f"unknown method {h.preprocessing}/"
+                               f"{h.encoder_type}")
+            hdrs.append(h)
         seq_np = np.asarray([h.sequence_number for h in hdrs], np.int32)
-        any_secondary = bool((seq_np > 0).any())
-        if any_secondary and self.secondary_cfg is None:
-            raise CmpError(CmpErrorCode.PARAMS_INVALID)
+        g_np = np.asarray([h.encoder_param for h in hdrs], np.uint32)
+        o_np = np.asarray([h.encoder_outlier for h in hdrs], np.uint32)
         n_words = max((len(f) + 3) // 4 for f in frames) + 2
         words = np.zeros((self.batch, n_words), dtype=np.uint32)
         for b, f in enumerate(frames):
             padded = f + b"\x00" * ((-len(f)) % 4)
             words[b, : len(padded) // 4] = np.frombuffer(padded, dtype=">u4")
         words_dev = jnp.asarray(words)
-        all_primary = not any_secondary
-        all_secondary = bool((seq_np > 0).all())
-        if all_primary or self.secondary_cfg is None:
-            samples, _ = decode_blocks_device(
-                self.primary_cfg, words_dev, self.model, self.n_samples)
-        elif all_secondary or self.secondary_cfg == self.primary_cfg:
-            samples, _ = decode_blocks_device(
-                self.secondary_cfg, words_dev, self.model, self.n_samples)
-        else:
-            # mixed batch: decode under both configs, select per block
-            s_p, _ = decode_blocks_device(
-                self.primary_cfg, words_dev, self.model, self.n_samples)
-            s_s, _ = decode_blocks_device(
-                self.secondary_cfg, words_dev, self.model, self.n_samples)
-            samples = jnp.where(jnp.asarray(seq_np == 0)[:, None], s_p, s_s)
-        # model transition identical to the encoder's (per-block seq)
+
+        # header-driven dispatch: one device pass per method group present
+        groups: "dict[tuple[int, int, int], np.ndarray]" = {}
+        for i, h in enumerate(hdrs):
+            key = (h.preprocessing, h.encoder_type, h.checksum_enabled)
+            groups.setdefault(key, np.zeros(self.batch, bool))[i] = True
+        samples = None
+        for (prep, enc, cs), mask in groups.items():
+            if prep == 0 and enc == 0:
+                s = decode_blocks_uncompressed(words_dev, self.n_samples)
+            else:
+                cfg, g_dyn, o_dyn = self._group_cfg(
+                    prep, enc, cs, g_np[mask], o_np[mask])
+                if g_dyn is not None:
+                    # full-batch per-lane parameters (masked lanes decode
+                    # garbage, discarded by the select below)
+                    s, _ = decode_blocks_device(
+                        cfg, words_dev, self.model, self.n_samples,
+                        g_dyn=jnp.asarray(np.where(mask, g_np, 1)),
+                        outlier_dyn=jnp.asarray(np.where(mask, o_np, 1)))
+                else:
+                    s, _ = decode_blocks_device(
+                        cfg, words_dev, self.model, self.n_samples)
+            if samples is None:
+                samples = s
+            else:
+                samples = jnp.where(jnp.asarray(mask)[:, None], s, samples)
+
+        # model transition identical to the encoder's: per-block seq;
+        # fallback frames carry seq 0, which reseeds the model exactly as
+        # the encoder's fallback reseed does (cmp.c:380-392 + :304-311)
         if self.params.model_is_needed():
             self.model = model_update_step(
                 samples, self.model, jnp.asarray(seq_np),

@@ -27,7 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_codes", "pack_codes_tree", "exclusive_cumsum"]
+__all__ = ["pack_codes", "pack_codes_tree", "merge_streams_tree",
+           "exclusive_cumsum"]
 
 _U32 = jnp.uint32
 
@@ -239,6 +240,28 @@ def _merge_level_array(buf, ln, radix: int, C_out):
         out = out | _shift_array(groups[k], total, C_out)
         total = total + lens[k]
     return out, total
+
+
+def merge_streams_tree(words: jax.Array, bits: jax.Array, radix: int = 2):
+    """Concatenate (..., M, C) left-justified bitstreams into one stream.
+
+    ``words`` holds M (a power of two) already-packed word streams, each
+    left-justified with ``bits[..., m]`` valid bits; the result is their
+    in-order bit concatenation — log2(M) pairwise funnel-shift merge
+    levels, the same machinery as :func:`pack_codes_tree`'s deep levels.
+    Used to stitch the Pallas packer's per-row streams into one long
+    shard stream (parallel/sp.py).
+
+    Returns (stream (..., M*C) uint32, total_bits (...,) int32).
+    """
+    m = words.shape[-2]
+    assert m & (m - 1) == 0, "stream count must be a power of two"
+    buf, ln = words, bits.astype(jnp.int32)
+    while m > 1:
+        r = radix if (m % radix == 0 and m >= radix) else 2
+        buf, ln = _merge_level_array(buf, ln, r, r * buf.shape[-1])
+        m //= r
+    return buf[..., 0, :], ln[..., 0]
 
 
 def pack_codes_tree(hi: jax.Array, lo: jax.Array, lens: jax.Array,

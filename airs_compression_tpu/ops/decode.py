@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from . import golomb, preprocess
 from .encode import PassConfig
 
-__all__ = ["decode_blocks_device"]
+__all__ = ["decode_blocks_device", "decode_blocks_uncompressed"]
 
 _U32 = jnp.uint32
 
@@ -75,28 +75,53 @@ def _take_bits(hi: jax.Array, lo: jax.Array, start, count):
                      top >> jnp.where(c == 0, _U32(0), _U32(32) - c))
 
 
-def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array):
+def _golomb_terms(cfg: PassConfig, g_dyn=None, outlier_dyn=None):
+    """Per-lane (g, g_log2, cutoff, outlier) decode constants.
+
+    Static when the whole batch shares ``cfg``'s parameters; per-lane
+    uint32/int32 arrays when the blocks carry their own ``encoder_param``/
+    ``encoder_outlier`` in their headers (adaptive streams — the chosen
+    parameter travels in the header, reference header_private.h:23-31).
+    """
+    if g_dyn is None:
+        gl = int(cfg.g_par).bit_length() - 1
+        g_par = _U32(cfg.g_par)
+        g_log2 = jnp.int32(gl)
+        cutoff = _U32((2 << gl) - cfg.g_par)
+        outlier = _U32(cfg.outlier)
+    else:
+        g_par = g_dyn.astype(_U32)
+        g_log2_u = golomb.ilog2_u32(g_par)
+        g_log2 = g_log2_u.astype(jnp.int32)
+        cutoff = (_U32(2) << g_log2_u) - g_par
+        outlier = (outlier_dyn.astype(_U32) if outlier_dyn is not None
+                   else _U32(cfg.outlier))
+    return g_par, g_log2, cutoff, outlier
+
+
+def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array,
+                g_dyn=None, outlier_dyn=None):
     """Decode one codeword per block from its 64-bit window.
 
     Returns (mapped_or_raw_value: uint32, consumed_bits: int32).
+    ``g_dyn``/``outlier_dyn`` optionally supply per-lane parameters
+    (broadcastable against ``hi``) for header-driven decode.
     """
     if cfg.enc_type == 0:  # UNCOMPRESSED: raw 16-bit residual
         v = hi >> _U32(16)
         return v, jnp.full(hi.shape, 16, jnp.int32)
 
-    g_par = cfg.g_par
-    g_log2 = int(g_par).bit_length() - 1
-    cutoff = (2 << g_log2) - g_par
+    g_par, g_log2, cutoff, outlier = _golomb_terms(cfg, g_dyn, outlier_dyn)
 
     # unary quotient: leading ones
     q = _clz32(~hi).astype(jnp.int32)
     # remainder: g_log2 bits after the terminating zero
-    r0 = _take_bits(hi, lo, q + 1, jnp.full(q.shape, g_log2, jnp.int32))
-    long_form = r0 >= _U32(cutoff)
+    r0 = _take_bits(hi, lo, q + 1, jnp.broadcast_to(g_log2, q.shape))
+    long_form = r0 >= cutoff
     extra = _take_bits(hi, lo, q + 1 + g_log2, jnp.where(long_form, 1, 0))
-    r_long = ((r0 << _U32(1)) | extra) - _U32(cutoff)
+    r_long = ((r0 << _U32(1)) | extra) - cutoff
     rem = jnp.where(long_form, r_long, r0)
-    v = q.astype(_U32) * _U32(g_par) + rem
+    v = q.astype(_U32) * g_par + rem
     consumed = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
 
     if cfg.enc_type == 1:  # GOLOMB_ZERO
@@ -107,24 +132,46 @@ def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array):
         return mapped, consumed
 
     if cfg.enc_type == 2:  # GOLOMB_MULTI
-        esc = v >= _U32(cfg.outlier)
-        level = jnp.where(esc, v - _U32(cfg.outlier), _U32(0))
+        esc = v >= outlier
+        level = jnp.where(esc, v - outlier, _U32(0))
         nbits = ((level + _U32(1)) * _U32(2)).astype(jnp.int32)
         diff = _take_bits(hi, lo, consumed, jnp.where(esc, nbits, 0))
-        mapped = jnp.where(esc, _U32(cfg.outlier) + diff, v)
+        mapped = jnp.where(esc, outlier + diff, v)
         consumed = consumed + jnp.where(esc, nbits, 0)
         return mapped, consumed
 
     raise ValueError(f"unknown encoder type {cfg.enc_type}")
 
 
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def decode_blocks_uncompressed(words: jax.Array, n_samples: int):
+    """Closed-form decode of NONE+UNCOMPRESSED frames (no scan needed).
+
+    Such frames — notably the engine's uncompressed-fallback output
+    (reference cmp.c:342-393) — have a 16-byte (4-word) header followed by
+    word-aligned raw big-endian samples, so decoding is a slice + bit
+    split.  Returns (B, N) int32 sign-extended i16 samples.
+    """
+    B = words.shape[0]
+    n_payload = (n_samples + 1) // 2
+    w = jax.lax.slice_in_dim(words, 4, 4 + n_payload, axis=-1)
+    s_even = (w >> _U32(16)).astype(jnp.int32)
+    s_odd = (w & _U32(0xFFFF)).astype(jnp.int32)
+    vals = jnp.stack([s_even, s_odd], axis=-1).reshape(B, -1)[:, :n_samples]
+    return ((vals & 0xFFFF) ^ 0x8000) - 0x8000
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def decode_blocks_device(cfg: PassConfig, words: jax.Array, model: jax.Array,
-                         n_samples: int):
+                         n_samples: int, g_dyn=None, outlier_dyn=None):
     """Decode (B, W) u32 frames (header included) -> (B, N) int32 samples.
 
-    All blocks must share ``cfg`` (lockstep chains, mirroring the batched
-    encoder); ``model`` is consulted only for MODEL preprocessing.
+    All blocks must share ``cfg``'s static shape (preprocessing, encoder
+    type, header size); per-block Golomb parameters may be supplied as
+    (B,) arrays ``g_dyn``/``outlier_dyn`` (header-driven decode of
+    adaptive streams), in which case ``cfg.g_par`` must be an upper bound
+    on every lane's parameter (it sizes the worst-case code width).
+    ``model`` is consulted only for MODEL preprocessing.
     Returns (samples (B, N) int32 sign-extended i16, end_bitpos (B,) i32).
 
     On TPU every batch routes through the Pallas slab-pyramid decoder
@@ -140,12 +187,13 @@ def decode_blocks_device(cfg: PassConfig, words: jax.Array, model: jax.Array,
             and (mode == "pallas" or jax.default_backend() != "cpu")):
         from .pallas_decode import decode_blocks_pallas
 
-        return decode_blocks_pallas(cfg, words, model, n_samples)
+        return decode_blocks_pallas(cfg, words, model, n_samples,
+                                    g_dyn=g_dyn, outlier_dyn=outlier_dyn)
     init_pos = jnp.full((B,), cfg.hdr_bits, jnp.int32)
 
     def step(pos, _):
         hi, lo = _window64(words, pos)
-        val, consumed = _decode_one(cfg, hi, lo)
+        val, consumed = _decode_one(cfg, hi, lo, g_dyn, outlier_dyn)
         return pos + consumed, val
 
     end_pos, vals = jax.lax.scan(step, init_pos, None, length=n_samples)

@@ -156,9 +156,8 @@ def clamped_frame_words(cfg: PassConfig, n: int, cap_bits: "int | None") -> int:
         return worst_case_words(cfg, n)
     from . import pallas_pack
 
-    K = max(2 * pallas_pack._S, 1 << (n - 1).bit_length())
-    c_payload = pallas_pack._node_cap_words(
-        cfg.worst_bits_per_sample, cap_bits, K)
+    c_payload = pallas_pack.clamped_payload_words(
+        cfg.worst_bits_per_sample, cap_bits, n)
     words = (cfg.hdr_bits + 31) // 32 + c_payload + 3  # tail + checksum slack
     return min(words, worst_case_words(cfg, n))
 
@@ -231,7 +230,9 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         payload_bits = jnp.full((B,), 16 * N, jnp.int32)
         out = _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
                                id_lo, checksum, n_words)
-        return out if cap_bits is None else out + (jnp.ones((B,), bool),)
+        # ok = frame actually fit the (possibly clamped) buffer; assembly
+        # truncates at n_words, so an oversized frame must be flagged
+        return out if cap_bits is None else out + (out[1] <= n_words * 4,)
     if N & (N - 1) == 0 and _use_pallas(B, N, wb):
         # fused TPU fast path: codeword gen + pack in one VMEM kernel
         ok = None
@@ -244,7 +245,9 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
                 residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb)
         out = _assemble_frames(cfg, payload, payload_bits, N, seq, id_hi,
                                id_lo, checksum, n_words)
-        return out if cap_bits is None else out + (ok,)
+        if cap_bits is not None:
+            out = out + (ok & (out[1] <= n_words * 4),)
+        return out
     hi, lo, lens = golomb.encode_codewords(residuals, cfg.enc_type,
                                            cfg.g_par, cfg.outlier)
     out = _finish_frames(cfg, hi, lo, lens, seq, id_hi, id_lo, checksum,
@@ -258,8 +261,12 @@ def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
                    cap_bits: "int | None" = None):
     """Pack + frame assembly shared by the static and adaptive encoders.
 
-    Always returns (words, sizes, ok); ok is all-True unless an
-    entropy-clamped Pallas pack (``cap_bits``) detected overflow.
+    Always returns (words, sizes, ok).  With ``cap_bits`` set (clamped
+    frame buffers), ok is False for any block whose payload overflowed a
+    clamped Pallas node OR whose assembled frame exceeds ``n_words`` —
+    the latter covers the XLA-packer path, where frames are truncated at
+    ``n_words`` by ``_assemble_frames`` and would otherwise be reported
+    corrupt-but-ok.
     """
     B, N = lens.shape
     # pad the code count to a power of two with zero-length codes
@@ -284,6 +291,8 @@ def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
     words, sizes = _assemble_frames(cfg, payload, payload_bits, N, seq,
                                     id_hi, id_lo, checksum, n_words,
                                     enc_param_dyn, outlier_dyn)
+    if cap_bits is not None:
+        ok = ok & (sizes <= n_words * 4)
     return words, sizes, ok
 
 
@@ -391,9 +400,14 @@ def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
         fell_back = jnp.zeros((B,), bool)
     if pack_ok is None:
         return words, sizes, fell_back
-    # a block that fell back is served by the (tree-free) uncompressed
-    # frame, so a clamped-pack overflow there is moot
-    return words, sizes, fell_back, pack_ok | fell_back
+    # A block that fell back is served by the (tree-free) uncompressed
+    # frame, so a clamped-pack overflow there is moot — but only if the
+    # uncompressed frame itself fits the (possibly clamped) buffer;
+    # otherwise _assemble_frames truncated it and the block must stay
+    # flagged for a full-capacity re-encode.
+    unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
+    fb_fits = unc_size <= n_words * 4  # static
+    return words, sizes, fell_back, jnp.where(fell_back, fb_fits, pack_ok)
 
 
 @functools.partial(jax.jit, static_argnames=("model_rate", "unsigned_model"))

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import golomb, preprocess
-from .decode import _clz32, _decode_one, _take_bits
+from .decode import _clz32, _decode_one, _golomb_terms, _take_bits
 from .encode import PassConfig
 
 __all__ = ["decode_blocks_pallas", "pallas_decode_supported"]
@@ -88,16 +88,25 @@ def _onehot_word(slab_ref, size: int, off):
     return w
 
 
-def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int):
+def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
+                 dynamic: bool = False):
     levels = _slab_plan(C_in, cfg.worst_bits_per_sample)
     two_phase = cfg.enc_type == 2  # MULTI escapes can exceed 32 bits
     wi0 = cfg.hdr_bits >> 5
     r0 = cfg.hdr_bits & 31
 
-    def kernel(words_ref, out_ref, endpos_ref, *slabs):
-        # slabs: one VMEM scratch per pyramid level (bottom..top) plus a
-        # state scratch: rows 0..len(levels)-1 = per-level base, then
-        # hi, lo, navail(int), wi
+    def kernel(words_ref, *rest):
+        # inputs: words [+ per-lane (g, outlier) planes when dynamic];
+        # outputs: out, endpos; slabs: one VMEM scratch per pyramid level
+        # (bottom..top) plus a state scratch: rows 0..len(levels)-1 =
+        # per-level base, then hi, lo, navail(int), wi
+        if dynamic:
+            par_ref, out_ref, endpos_ref, *slabs = rest
+            g_lane = par_ref[0, 0]            # (SUB, LANES) u32
+            out_lane = par_ref[0, 1]
+        else:
+            out_ref, endpos_ref, *slabs = rest
+            g_lane = out_lane = None
         *slab_refs, st = slabs
         w = words_ref[0]  # (C_pad, SUB, LANES)
         n_lv = len(levels)
@@ -173,35 +182,34 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int):
             navail, wi = st[2].astype(jnp.int32), st[3].astype(jnp.int32)
 
             if not two_phase:
-                val, used = _decode_one(cfg, hi, lo)
+                val, used = _decode_one(cfg, hi, lo, g_lane, out_lane)
                 hi, lo, navail = consume(hi, lo, navail, used)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
             else:
                 # phase 1: Golomb part (<= 32 bits)
-                g_par = cfg.g_par
-                g_log2 = int(g_par).bit_length() - 1
-                cutoff = (2 << g_log2) - g_par
+                g_par, g_log2, cutoff, outlier = _golomb_terms(
+                    cfg, g_lane, out_lane)
                 q = _clz32(~hi).astype(jnp.int32)
                 rbits = _take_bits(hi, lo, q + 1,
-                                   jnp.full(q.shape, g_log2, jnp.int32))
-                long_form = rbits >= _U32(cutoff)
+                                   jnp.broadcast_to(g_log2, q.shape))
+                long_form = rbits >= cutoff
                 extra = _take_bits(hi, lo, q + 1 + g_log2,
                                    jnp.where(long_form, 1, 0))
                 rem = jnp.where(long_form,
-                                ((rbits << _U32(1)) | extra) - _U32(cutoff),
+                                ((rbits << _U32(1)) | extra) - cutoff,
                                 rbits)
-                v = q.astype(_U32) * _U32(g_par) + rem
+                v = q.astype(_U32) * g_par + rem
                 used1 = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
                 hi, lo, navail = consume(hi, lo, navail, used1)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
                 # phase 2: escape raw bits (<= 32)
-                esc = v >= _U32(cfg.outlier)
-                level = jnp.where(esc, v - _U32(cfg.outlier), _U32(0))
+                esc = v >= outlier
+                level = jnp.where(esc, v - outlier, _U32(0))
                 nbits = jnp.where(esc,
                                   ((level + _U32(1)) * _U32(2)).astype(
                                       jnp.int32), 0)
                 diff = _take_bits(hi, lo, jnp.zeros_like(nbits), nbits)
-                val = jnp.where(esc, _U32(cfg.outlier) + diff, v)
+                val = jnp.where(esc, outlier + diff, v)
                 hi, lo, navail = consume(hi, lo, navail, nbits)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
 
@@ -222,14 +230,26 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interpret"))
 def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
                          model: jax.Array, n_samples: int,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         g_dyn=None, outlier_dyn=None):
     """Drop-in for ``decode_blocks_device`` (same contract) on TPU.
 
     ``words`` is (B, C) uint32 whole frames (header included); any B >= 1
     (batches are padded internally to the 1024-block tile, the kernel's
-    minimum granularity).  Returns (samples (B, N) int32, end_bitpos (B,)).
+    minimum granularity).  ``g_dyn``/``outlier_dyn`` optionally carry
+    per-block Golomb parameters (header-driven decode of adaptive
+    streams); ``cfg.g_par`` must then upper-bound every lane's parameter
+    so the slab cadence plan stays safe.  Returns (samples (B, N) int32,
+    end_bitpos (B,)).
     """
     B, C_in = words.shape
+    dynamic = g_dyn is not None
+    if dynamic:
+        # one (2, B) u32 plane pair: g and outlier; padding lanes get g=1
+        if outlier_dyn is None:
+            outlier_dyn = jnp.full((B,), cfg.outlier, _U32)
+        par = jnp.stack([jnp.maximum(g_dyn.astype(_U32), _U32(1)),
+                         outlier_dyn.astype(_U32)])
     B_pad = -(-B // _TILE) * _TILE
     if B_pad != B:
         # zero frames decode to garbage rows that are sliced away below;
@@ -240,6 +260,9 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
         model = jnp.concatenate(
             [model, jnp.zeros((B_pad - B,) + model.shape[1:], model.dtype)],
             axis=0)
+        if dynamic:
+            par = jnp.concatenate(
+                [par, jnp.ones((2, B_pad - B), _U32)], axis=-1)
     tiles = B_pad // _TILE
     # pad so every aligned candidate slice of the top slab is in bounds
     top = 512 if C_in > 640 else (128 if C_in > 160 else 16)
@@ -248,7 +271,17 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
         [words, jnp.zeros((B_pad, C_pad - C_in), _U32)], axis=-1)
     w_css = w.reshape(tiles, _SUB, _LANES, C_pad).transpose(0, 3, 1, 2)
 
-    kernel, levels = _make_kernel(cfg, n_samples, C_in, C_pad)
+    kernel, levels = _make_kernel(cfg, n_samples, C_in, C_pad,
+                                  dynamic=dynamic)
+    ins = [w_css]
+    in_specs = [pl.BlockSpec((1, C_pad, _SUB, _LANES),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if dynamic:
+        ins.append(par.reshape(2, tiles, _SUB, _LANES).transpose(1, 0, 2, 3))
+        in_specs.append(pl.BlockSpec((1, 2, _SUB, _LANES),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((size, _SUB, _LANES), _U32)
                for size, _, _ in levels]
     scratch.append(pltpu.VMEM((4 + len(levels), _SUB, _LANES), _U32))
@@ -258,9 +291,7 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
         out_shape=(jax.ShapeDtypeStruct((tiles, n_samples, _SUB, _LANES),
                                         _U32),
                    jax.ShapeDtypeStruct((tiles, 1, _SUB, _LANES), jnp.int32)),
-        in_specs=[pl.BlockSpec((1, C_pad, _SUB, _LANES),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, n_samples, _SUB, _LANES),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -271,7 +302,7 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(w_css)
+    )(*ins)
     # out[tile, step, s, lane] -> (B, N); padding rows sliced away
     vals = out.transpose(0, 2, 3, 1).reshape(B_pad, n_samples)[:B]
     end_pos = endpos.reshape(B_pad)[:B]

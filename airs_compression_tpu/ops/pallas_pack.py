@@ -46,6 +46,7 @@ __all__ = [
     "pack_codes_tree_pallas",
     "pack_residuals_pallas",
     "pallas_pack_supported",
+    "clamped_payload_words",
 ]
 
 _U32 = jnp.uint32
@@ -366,6 +367,20 @@ def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
                                worst_bits, A0, C_final, cap_bits)
     return _pallas_pack_call(kernel, [res16], B, A0, C_final, interpret,
                              with_ok=cap_bits is not None)
+
+
+def clamped_payload_words(worst_bits: int, cap_bits: "int | None",
+                          n: int) -> int:
+    """Public capacity contract: payload words the packer emits for n codes.
+
+    This is the root node's (possibly entropy-clamped) capacity after n is
+    rounded up to the kernel's code grid (K = 8 * 2^k).  Frame sizing in
+    ops/encode.py uses this instead of reaching into the kernel's
+    internals, so the two cannot diverge if the capacity policy
+    (``_CAP_FLOOR_BITS``, node layout) changes.
+    """
+    K = max(2 * _S, 1 << max(n - 1, 0).bit_length())
+    return _node_cap_words(worst_bits, cap_bits, K)
 
 
 def pallas_pack_supported(B: int, K: int, worst_bits: int) -> bool:

@@ -141,6 +141,42 @@ def _shard_residuals(cfg, x_loc, model_loc, axis, D, n):
                    f"unknown preprocessing {cfg.prep}")
 
 
+_SP_PALLAS_ROWS = 128  # per-shard row split for the VMEM packer
+
+
+def _pack_shard_stream(hi, lo, lens, worst_bits: int):
+    """Pack one shard's (K,) codes into a left-justified word stream.
+
+    TPU fast path: split the shard into 128 rows, pack every row in the
+    VMEM-resident Pallas kernel (ops/pallas_pack.py — the same kernel the
+    batch path uses, which profiling showed is the difference between
+    ~100%-of-encode-time XLA packing and speed-of-light), then stitch the
+    row streams with log2(128) funnel-shift merge levels
+    (bitpack.merge_streams_tree).  Falls back to the XLA tree for shapes
+    the kernel does not support (or on CPU).
+    """
+    import os
+
+    from ..ops.encode import _use_pallas
+    from ..ops.pallas_pack import pack_codes_tree_pallas
+
+    K = lens.shape[-1]
+    R = _SP_PALLAS_ROWS
+    interpret = os.environ.get("AIRS_SP_PACK_INTERPRET") == "1"
+    if K % R == 0 and (interpret or _use_pallas(R, K // R, worst_bits)):
+        from ..ops.pallas_pack import pallas_pack_supported
+
+        if pallas_pack_supported(R, K // R, worst_bits):
+            rows = lambda v: v.reshape(R, K // R)
+            w_rows, bits_rows = pack_codes_tree_pallas(
+                rows(hi), rows(lo), rows(lens), worst_bits,
+                interpret=interpret)
+            words, _ = bitpack.merge_streams_tree(w_rows, bits_rows)
+            return words
+    words, _ = bitpack.pack_codes_tree(hi, lo, lens, worst_bits)
+    return words
+
+
 def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
     """Per-shard: residuals -> codewords -> local pack -> global shift."""
     d = jax.lax.axis_index(axis)
@@ -160,8 +196,7 @@ def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
     offset = cfg.hdr_bits + before  # absolute payload bit offset
     total_payload_bits = jnp.sum(all_bits)
 
-    words, _ = bitpack.pack_codes_tree(hi, lo, lens,
-                                       cfg.worst_bits_per_sample)
+    words = _pack_shard_stream(hi, lo, lens, cfg.worst_bits_per_sample)
     # shift local stream right by r = offset % 32 onto the global word grid
     r = (offset % 32).astype(jnp.uint32)
     wprev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), words[:-1]])

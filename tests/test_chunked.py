@@ -135,3 +135,94 @@ class TestCliChunkedRoute:
              "-o", str(restored), "-q"], env=env, capture_output=True)
         assert r.returncode == 0, r.stderr
         assert restored.read_bytes() == src.read_bytes()
+
+
+class TestChunkedDecompress:
+    """Device-path file decompression (models/chunked.decompress_chunked)."""
+
+    def test_matches_host_decoder(self, fixed_time):
+        rng = np.random.default_rng(4)
+        data = _data(rng, 8192)
+        got = compress_chunked(PARAMS, data, chunk_samples=1024, batch=4)
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        dec = decompress_chunked(got, batch=4)
+        ref, _ = decompress(got)
+        np.testing.assert_array_equal(dec, ref)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_fallback_and_tail_blocks(self, fixed_time):
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=1,
+                           uncompressed_fallback_enabled=True)
+        rng = np.random.default_rng(5)
+        data = np.concatenate([
+            _data(rng, 1024),
+            rng.integers(0, 1 << 16, 2048).astype(np.uint16),  # falls back
+            _data(rng, 1500),  # forces a 476-sample host tail block
+        ])
+        got = compress_chunked(params, data, chunk_samples=1024, batch=4)
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        dec = decompress_chunked(got, batch=4)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_adaptive_stream(self, fixed_time):
+        import functools
+
+        from airs_compression_tpu.models.chunked import decompress_chunked
+        from airs_compression_tpu.models.stream import BatchCompressor
+
+        rng = np.random.default_rng(6)
+        data = np.concatenate(
+            [_data(rng, 1024, sigma=s) for s in (1, 40, 900, 3)])
+        got = compress_chunked(
+            PARAMS, data, chunk_samples=1024, batch=4,
+            compressor_cls=functools.partial(BatchCompressor, adaptive=True))
+        dec = decompress_chunked(got, batch=4)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_model_chain_stream_uses_host_path(self, fixed_time):
+        """Streams with MODEL blocks (chain state) still decode exactly."""
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=2,
+                           secondary_iterations=10,
+                           secondary_preprocessing=Preprocessing.MODEL,
+                           secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           secondary_encoder_param=2, model_rate=8)
+        rng = np.random.default_rng(7)
+        ctx = CmpContext(params)
+        base = (1100 + rng.normal(0, 4, 512)).astype(np.int64)
+        frames = [((base + rng.normal(0, 2, 512)).astype(np.int64)
+                   & 0xFFFF).astype(np.uint16) for _ in range(4)]
+        stream = b"".join(ctx.compress_u16(f) for f in frames)
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        dec = decompress_chunked(stream)
+        np.testing.assert_array_equal(dec, np.concatenate(frames))
+
+    def test_checksum_mismatch_detected(self, fixed_time):
+        rng = np.random.default_rng(8)
+        data = _data(rng, 4096)
+        got = bytearray(
+            compress_chunked(PARAMS, data, chunk_samples=1024, batch=4))
+        got[-1] ^= 0xFF  # corrupt the last block's trailing checksum
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        with pytest.raises(CmpError):
+            decompress_chunked(bytes(got), batch=4)
+        # and verification can be disabled
+        dec = decompress_chunked(bytes(got), batch=4,
+                                 verify_checksum=False)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_truncated_stream_rejected(self, fixed_time):
+        rng = np.random.default_rng(9)
+        data = _data(rng, 2048)
+        got = compress_chunked(PARAMS, data, chunk_samples=1024, batch=2)
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        with pytest.raises(CmpError):
+            decompress_chunked(got[:-3], batch=2)

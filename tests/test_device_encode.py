@@ -178,3 +178,154 @@ class TestDeviceVsHost:
         assert [h.sequence_number for h in hdrs] == [1, 1, 0, 1]
         assert hdrs[2].preprocessing == int(Preprocessing.DIFF)
         assert hdrs[0].preprocessing == int(Preprocessing.MODEL)
+
+
+class TestClampedOkContract:
+    """The clamped-buffer ``ok`` flag must be honest on EVERY packer path.
+
+    ``_assemble_frames`` truncates frames at ``n_words``; with an
+    entropy-clamped buffer the XLA tree packer (the path taken on CPU,
+    under AIRS_TPU_PACKER=xla, or for unsupported shapes) has no kernel
+    overflow detector, so ok must be derived from the exact frame size.
+    """
+
+    def _cfg(self):
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=1)
+        from airs_compression_tpu.ops.encode import make_pass_config
+
+        return params, make_pass_config(params, False, True)
+
+    def test_xla_path_flags_oversized_frames(self):
+        from airs_compression_tpu.ops.encode import (
+            clamped_frame_words,
+            encode_blocks_device,
+            worst_case_words,
+        )
+
+        params, cfg = self._cfg()
+        B, N, cap = 4, 256, 8
+        rng = np.random.default_rng(0)
+        x_np = np.empty((B, N), np.uint16)
+        x_np[:2] = rng.integers(0, 1 << 16, (2, N))       # incompressible
+        x_np[2:] = 1000 + rng.integers(0, 4, (2, N))      # compressible
+        x = jnp.asarray(x_np.view(np.int16), np.int32)
+        z = jnp.zeros((B,), jnp.int32)
+        zu = jnp.zeros((B,), jnp.uint32)
+        n_words = clamped_frame_words(cfg, N, cap)
+        assert n_words < worst_case_words(cfg, N)
+        words, sizes, fell, ok = encode_blocks_device(
+            cfg, None, x, x, z, zu, zu, zu, n_words, cap_bits=cap)
+        ok, sizes = np.asarray(ok), np.asarray(sizes)
+        # noise rows exceed the clamped frame buffer -> flagged, not silent
+        assert not ok[:2].any()
+        assert (sizes[:2] > n_words * 4).all()
+        assert ok[2:].all()
+        # ok rows are byte-exact vs the host codec
+        from airs_compression_tpu.engine.context import (
+            CmpContext,
+            set_timestamp_func,
+        )
+
+        set_timestamp_func(lambda: (0, 0))
+        try:
+            for i in (2, 3):
+                ref = CmpContext(params).compress_u16(x_np[i])
+                dev = np.asarray(words)[i].astype(">u4").tobytes()
+                assert dev[: len(ref)] == ref
+        finally:
+            set_timestamp_func(None)
+
+    def test_truncated_fallback_frame_is_flagged(self):
+        import dataclasses
+
+        from airs_compression_tpu.ops.encode import (
+            clamped_frame_words,
+            encode_blocks_device,
+            make_pass_config,
+        )
+
+        params, cfg = self._cfg()
+        fb_params = dataclasses.replace(
+            params, primary_preprocessing=Preprocessing.NONE,
+            primary_encoder_type=EncoderType.UNCOMPRESSED)
+        fb_cfg = make_pass_config(fb_params, False, True)
+        B, N, cap = 4, 256, 8
+        rng = np.random.default_rng(1)
+        x_np = rng.integers(0, 1 << 16, (B, N)).astype(np.uint16)
+        x = jnp.asarray(x_np.view(np.int16), np.int32)
+        z = jnp.zeros((B,), jnp.int32)
+        zu = jnp.zeros((B,), jnp.uint32)
+        n_words = clamped_frame_words(cfg, N, cap)
+        assert (16 + 2 * N) > n_words * 4  # fallback frame cannot fit
+        words, sizes, fell, ok = encode_blocks_device(
+            cfg, fb_cfg, x, x, z, zu, zu, zu, n_words, cap_bits=cap)
+        fell, ok = np.asarray(fell), np.asarray(ok)
+        assert fell.all()           # noise triggers the fallback
+        assert not ok.any()         # ... but the fb frame was truncated
+
+
+class TestDeviceDtypes:
+    """i16 and i16-in-i32 through the DEVICE pipeline, oracle-checked
+    (reference sample_reader.h:9-78; was host-tier-only before round 3)."""
+
+    PARAMS = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=4,
+                       secondary_iterations=3,
+                       secondary_preprocessing=Preprocessing.MODEL,
+                       secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       secondary_encoder_param=4,
+                       model_rate=8, checksum_enabled=True)
+
+    def _frames(self, rng, B, n):
+        # values spanning the signed range so signedness is observable
+        return rng.integers(-32768, 32768, (B, n)).astype(np.int16)
+
+    @pytest.mark.parametrize("cmp_type", [CmpType.I16, CmpType.I16_IN_I32])
+    def test_device_matches_host_context(self, cmp_type):
+        from airs_compression_tpu.engine.context import set_timestamp_func
+
+        B, n = 3, 128
+        rng = np.random.default_rng(int(cmp_type))
+        base = rng.integers(-2000, 2000, (B, n)).astype(np.int16)
+        bc = BatchCompressor(self.PARAMS, B, n, cmp_type=cmp_type)
+        set_timestamp_func(lambda: (0, 0))
+        try:
+            ctxs = [CmpContext(self.PARAMS) for _ in range(B)]
+            for step in range(3):
+                fr16 = (base.astype(np.int32)
+                        + rng.integers(-3, 4, (B, n))).astype(np.int16)
+                if cmp_type is CmpType.I16_IN_I32:
+                    # wide words with garbage in the upper halves
+                    garbage = rng.integers(0, 1 << 16, (B, n)).astype(np.int64)
+                    frames = ((garbage << 16)
+                              | (fr16.astype(np.int64) & 0xFFFF)).astype(
+                                  np.int32)
+                    ref = [ctxs[b].compress_i16_in_i32(frames[b])
+                           for b in range(B)]
+                else:
+                    frames = fr16
+                    ref = [ctxs[b].compress_i16(frames[b]) for b in range(B)]
+                got = bc.compress_frames(frames)
+                for b in range(B):
+                    assert _mask_id(got[b]) == _mask_id(ref[b]), \
+                        f"{cmp_type.name} step {step} block {b}"
+        finally:
+            set_timestamp_func(None)
+
+    def test_i16_in_i32_device_roundtrip(self):
+        from airs_compression_tpu.models.stream import BatchDecompressor
+
+        B, n = 4, 256
+        rng = np.random.default_rng(3)
+        fr16 = rng.integers(-300, 300, (B, n)).astype(np.int16)
+        frames = (fr16.astype(np.int64) & 0xFFFF).astype(np.int32) \
+            | (1 << 20)  # garbage upper bits
+        bc = BatchCompressor(self.PARAMS, B, n, cmp_type=CmpType.I16_IN_I32)
+        outs = bc.compress_frames(frames)
+        bd = BatchDecompressor(self.PARAMS, B, n,
+                               cmp_type=CmpType.I16_IN_I32)
+        dec = bd.decompress_frames(outs)
+        np.testing.assert_array_equal(dec.view(np.int16), fr16)

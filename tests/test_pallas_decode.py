@@ -81,3 +81,60 @@ def test_non_tile_batch_is_padded_internally():
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
     np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_pal))
     np.testing.assert_array_equal(np.asarray(s_pal), np.asarray(x))
+
+
+@pytest.mark.parametrize("enc", [EncoderType.GOLOMB_ZERO,
+                                 EncoderType.GOLOMB_MULTI])
+def test_dynamic_per_lane_params_match_xla(enc):
+    """Header-driven decode: per-lane g/outlier (adaptive streams)."""
+    from airs_compression_tpu.ops.encode import (
+        adaptive_worst_case_words,
+        encode_blocks_adaptive,
+    )
+
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=enc,
+                       primary_encoder_param=4,
+                       primary_encoder_outlier=(
+                           40 if enc == EncoderType.GOLOMB_MULTI else 16))
+    cfg = make_pass_config(params, False, True)
+    rng = np.random.default_rng(11)
+    frames = np.empty((B, N), np.uint16)
+    for i in range(B):  # widening noise across the batch -> g varies
+        frames[i] = (1000 + rng.normal(0, 1 + (i % 12), N)).astype(
+            np.int64) & 0xFFFF
+    x = jnp.asarray(frames.view(np.int16), jnp.int32)
+    from airs_compression_tpu.ops.adapt import DEFAULT_LADDER
+
+    nw = adaptive_worst_case_words(cfg, N, DEFAULT_LADDER)
+    z = jnp.zeros((B,), jnp.int32)
+    zu = jnp.zeros((B,), jnp.uint32)
+    words, sizes, _fb, g_sel = encode_blocks_adaptive(
+        cfg, None, x, x, z, zu, zu, zu, nw, DEFAULT_LADDER)
+    # per-lane params as the headers carry them
+    from airs_compression_tpu.format.header import CmpHeader
+
+    w_np = np.asarray(words)
+    hdr0 = CmpHeader.deserialize(w_np[0].astype(">u4").tobytes())[0]
+    g_np = np.empty((B,), np.uint32)
+    o_np = np.empty((B,), np.uint32)
+    for i in range(B):
+        h = CmpHeader.deserialize(w_np[i].astype(">u4").tobytes())[0]
+        g_np[i], o_np[i] = h.encoder_param, h.encoder_outlier
+    assert len(set(g_np.tolist())) > 1
+    np.testing.assert_array_equal(g_np, np.asarray(g_sel).astype(np.uint32))
+    # decode cfg: g_par upper-bounds every lane (sizes the code width)
+    from airs_compression_tpu.ops.encode import PassConfig
+
+    g_cap = 1 << (int(g_np.max()) - 1).bit_length()
+    dcfg = PassConfig(int(hdr0.preprocessing), int(enc), g_cap, 0,
+                      False, 0, False, True)
+    g_dyn = jnp.asarray(g_np)
+    o_dyn = jnp.asarray(o_np)
+    s_ref, e_ref = decode_blocks_device(dcfg, words, x, N,
+                                        g_dyn=g_dyn, outlier_dyn=o_dyn)
+    s_pal, e_pal = decode_blocks_pallas(dcfg, words, x, N, interpret=True,
+                                        g_dyn=g_dyn, outlier_dyn=o_dyn)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_pal))
+    np.testing.assert_array_equal(np.asarray(s_pal), np.asarray(x))

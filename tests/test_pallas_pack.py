@@ -163,3 +163,29 @@ def test_supported_predicate():
     assert not pallas_pack_supported(128, 8192, 65)   # code too wide
     assert not pallas_pack_supported(128, 24, 19)     # K/8 not a pow2
     assert not pallas_pack_supported(128, 8, 19)      # K too small
+
+
+def test_merge_streams_tree_matches_single_pack():
+    """Row-split pack + merge == one-shot pack (the SP fast path)."""
+    from airs_compression_tpu.ops.bitpack import (
+        merge_streams_tree,
+        pack_codes_tree,
+    )
+
+    rng = np.random.default_rng(12)
+    K, R, W = 2048, 128, 19
+    ln = rng.integers(1, 9, (K,)).astype(np.int32)
+    lo = rng.integers(0, 1 << 16, (K,)).astype(np.uint32)
+    lo &= ((1 << ln) - 1).astype(np.uint32)  # clean codes
+    hi = np.zeros((K,), np.uint32)
+    hj, lj, lnj = map(jnp.asarray, (hi, lo, ln))
+
+    ref_w, ref_b = map(np.asarray, pack_codes_tree(hj, lj, lnj, W))
+    rows = lambda v: v.reshape(R, K // R)
+    w_rows, b_rows = pack_codes_tree_pallas(
+        rows(hj), rows(lj), rows(lnj), W, interpret=True)
+    got_w, got_b = map(np.asarray, merge_streams_tree(w_rows, b_rows))
+    assert int(got_b) == int(ref_b)
+    c = min(ref_w.shape[-1], got_w.shape[-1])
+    nw = (int(ref_b) + 31) // 32
+    np.testing.assert_array_equal(ref_w[:nw], got_w[:nw])

@@ -232,3 +232,37 @@ class TestLongStreamChains:
         assert [h.sequence_number for h in hdrs] == [0, 0, 1]
         assert hdrs[1].encoder_type == 0  # UNCOMPRESSED
         assert hdrs[1].preprocessing == int(Preprocessing.NONE)
+
+
+def test_sp_pallas_pack_path_bit_identical(monkeypatch):
+    """The SP shard packer's Pallas fast path (row split + stream merge)
+    must produce the same frame as the XLA tree path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from airs_compression_tpu.format.params import (
+        CmpParams,
+        EncoderType,
+        Preprocessing,
+    )
+    from airs_compression_tpu.parallel.sp import (
+        _sharded_encode_program,
+        compress_long_stream,
+    )
+
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=4)
+    n = 4096 * 4  # per-shard K = 4096 on a 4-device mesh (8*512: supported)
+    rng = np.random.default_rng(13)
+    data = (1100 + rng.normal(0, 6, n)).astype(np.int64).astype(np.uint16)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+
+    monkeypatch.delenv("AIRS_SP_PACK_INTERPRET", raising=False)
+    _sharded_encode_program.cache_clear()
+    ref = compress_long_stream(mesh, params, data, identifier=7)
+    monkeypatch.setenv("AIRS_SP_PACK_INTERPRET", "1")
+    _sharded_encode_program.cache_clear()
+    got = compress_long_stream(mesh, params, data, identifier=7)
+    _sharded_encode_program.cache_clear()
+    assert got == ref
