@@ -340,6 +340,9 @@ class BatchDecompressor:
         g_np = np.asarray([h.encoder_param for h in hdrs], np.uint32)
         o_np = np.asarray([h.encoder_outlier for h in hdrs], np.uint32)
         n_words = max((len(f) + 3) // 4 for f in frames) + 2
+        # bucket the buffer width so repeated calls with slightly
+        # different frame sizes reuse one compiled decode program
+        n_words = 1 << (n_words - 1).bit_length()
         words = np.zeros((self.batch, n_words), dtype=np.uint32)
         for b, f in enumerate(frames):
             padded = f + b"\x00" * ((-len(f)) % 4)

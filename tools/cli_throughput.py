@@ -78,6 +78,32 @@ def main():
     dec, _ = decompress(dev_blob[: hdr.compressed_size])
     assert np.array_equal(dec, data[:chunk])
     print("parity + round-trip OK")
+
+    # --- decompression: device chunked path vs host per-block decode ----
+    from airs_compression_tpu.models.chunked import decompress_chunked
+
+    # warm the decode compile outside the timed run
+    warm = b"".join(host_parts[: min(2 * batch, len(host_parts))])
+    decompress_chunked(warm, batch=batch)
+    t0 = time.perf_counter()
+    out_dev = decompress_chunked(dev_blob, batch=batch)
+    t_ddev = time.perf_counter() - t0
+    assert np.array_equal(out_dev, data), "device decompress mismatch"
+    print(f"device decompress:   {t_ddev:.3f}s -> {gb / t_ddev:.2f} GB/s")
+
+    # host decode rate measured on a prefix (it is the slow path)
+    host_mib = min(size_mib, 32)
+    n_host_blocks = max(1, host_mib * (1 << 20) // (2 * chunk))
+    prefix = b"".join(host_parts[:n_host_blocks])
+    prefix_bytes = n_host_blocks * chunk * 2
+    t0 = time.perf_counter()
+    out_h, _ = decompress(prefix)
+    t_dhost = time.perf_counter() - t0
+    assert np.array_equal(out_h, data[: n_host_blocks * chunk])
+    host_gbps = prefix_bytes / t_dhost / 1e9
+    print(f"host decompress:     {t_dhost:.3f}s on {host_mib} MiB -> "
+          f"{host_gbps:.3f} GB/s")
+    print(f"device decode speedup: {gb / t_ddev / host_gbps:.1f}x")
     set_timestamp_func(None)
 
 
