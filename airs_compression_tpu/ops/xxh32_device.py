@@ -115,6 +115,10 @@ def xxh32_blocks(x: jax.Array, seed: int = CHECKSUM_SEED) -> jax.Array:
     return _finalize(h)
 
 
+_UNROLL = 32  # stripes per loop step: amortizes fori_loop overhead over
+              # the (irreducible) serial accumulator chain
+
+
 def _xxh_kernel(n_chunks: int, chunk: int, seed: int, w_ref, out_ref,
                 acc_ref):
     from jax.experimental import pallas as pl
@@ -129,12 +133,17 @@ def _xxh_kernel(n_chunks: int, chunk: int, seed: int, w_ref, out_ref,
         acc_ref[2] = jnp.full((_SUB, _LANES), seed & 0xFFFFFFFF, _U32)
         acc_ref[3] = jnp.full((_SUB, _LANES), (seed - _P1) & 0xFFFFFFFF, _U32)
 
+    u = _UNROLL if chunk % _UNROLL == 0 else 1
+
     def body(i, _):
-        w = w_ref[0, 0, i]  # (4, SUB, LANES)
-        acc_ref[:] = _rotl(acc_ref[:] + w * _U32(_P2), 13) * _U32(_P1)
+        acc = acc_ref[:]
+        for k in range(u):
+            w = w_ref[0, 0, i * u + k]  # (4, SUB, LANES)
+            acc = _rotl(acc + w * _U32(_P2), 13) * _U32(_P1)
+        acc_ref[:] = acc
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // u, body, 0)
 
     @pl.when(c == n_chunks - 1)
     def _():

@@ -141,19 +141,30 @@ def _shard_residuals(cfg, x_loc, model_loc, axis, D, n):
                    f"unknown preprocessing {cfg.prep}")
 
 
-_SP_PALLAS_ROWS = 128  # per-shard row split for the VMEM packer
+_SP_ROW_CODES = 8192  # target codes per packer row (the batch path's N)
+
+
+def _sp_row_split(K: int) -> int:
+    """Row count for the shard packer: rows of ~8192 codes, >= 1 lane
+    tile.  Large per-row trees spill VMEM; 8192-code rows match the
+    batch path's measured sweet spot."""
+    R = 128
+    while K // R > _SP_ROW_CODES and (K // (2 * R)) % 8 == 0:
+        R *= 2
+    return R
 
 
 def _pack_shard_stream(hi, lo, lens, worst_bits: int):
     """Pack one shard's (K,) codes into a left-justified word stream.
 
-    TPU fast path: split the shard into 128 rows, pack every row in the
-    VMEM-resident Pallas kernel (ops/pallas_pack.py — the same kernel the
-    batch path uses, which profiling showed is the difference between
-    ~100%-of-encode-time XLA packing and speed-of-light), then stitch the
-    row streams with log2(128) funnel-shift merge levels
-    (bitpack.merge_streams_tree).  Falls back to the XLA tree for shapes
-    the kernel does not support (or on CPU).
+    TPU fast path: split the shard into lane-tile rows of ~8192 codes,
+    pack every row in the VMEM-resident Pallas kernel
+    (ops/pallas_pack.py — the same kernel the batch path uses, which
+    profiling showed is the difference between ~100%-of-encode-time XLA
+    packing and speed-of-light), then stitch the row streams with
+    log2(R) funnel-shift merge levels (bitpack.merge_streams_tree).
+    Falls back to the XLA tree for shapes the kernel does not support
+    (or on CPU).
     """
     import os
 
@@ -161,7 +172,7 @@ def _pack_shard_stream(hi, lo, lens, worst_bits: int):
     from ..ops.pallas_pack import pack_codes_tree_pallas
 
     K = lens.shape[-1]
-    R = _SP_PALLAS_ROWS
+    R = _sp_row_split(K)
     interpret = os.environ.get("AIRS_SP_PACK_INTERPRET") == "1"
     if K % R == 0 and (interpret or _use_pallas(R, K // R, worst_bits)):
         from ..ops.pallas_pack import pallas_pack_supported
