@@ -168,13 +168,33 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                                        cmp_type)
                 decoders[(b_pad, n_samples)] = bd
             decoded = bd.decompress_frames(frames_padded)
+            csum_mask = [h.checksum_enabled for _, h in blocks[i:j]]
+            calc_batch = None
+            if verify_checksum and any(csum_mask):
+                # batch-parallel verification (device XXH32 when not on
+                # the CPU backend; the reference computes it inline per
+                # block, lib/compress/cmp.c:314-319)
+                import os as _os
+
+                import jax as _jax
+
+                if (_jax.default_backend() != "cpu"
+                        or _os.environ.get("AIRS_TPU_XXH32")
+                        in ("xla", "pallas")):
+                    import jax.numpy as _jnp
+
+                    from ..ops.xxh32_device import checksum_blocks_device
+
+                    calc_batch = np.asarray(checksum_blocks_device(
+                        _jnp.asarray(decoded[: j - i], _jnp.int32)))
             for k, (o, h) in enumerate(blocks[i:j]):
                 samples = decoded[k]
                 if verify_checksum and h.checksum_enabled:
                     stored = int.from_bytes(
                         stream[o + h.compressed_size - 4
                                : o + h.compressed_size], "big")
-                    calc = cmp_checksum(samples)
+                    calc = (int(calc_batch[k]) if calc_batch is not None
+                            else cmp_checksum(samples))
                     if calc != stored:
                         raise CmpError(
                             CmpErrorCode.GENERIC,

@@ -283,6 +283,9 @@ class BatchDecompressor:
                               if params.secondary_iterations else None)
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
         self.seq = 0
+        from ..utils.profiling import ThroughputMeter
+
+        self.metrics = ThroughputMeter()
 
     def _group_cfg(self, prep: int, enc: int, cs: int, g_vals, o_vals):
         """Decode PassConfig for one header method group.
@@ -315,12 +318,15 @@ class BatchDecompressor:
 
     def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
         """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""
+        import time as _time
+
         from ..format.header import CmpHeader
         from ..ops.decode import (
             decode_blocks_device,
             decode_blocks_uncompressed,
         )
 
+        _t0 = _time.perf_counter()
         if len(frames) != self.batch:
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
         hdrs = []
@@ -385,4 +391,6 @@ class BatchDecompressor:
                 jnp.zeros((self.batch,), bool),
                 self.params.model_rate, self.cmp_type is CmpType.U16)
         out = np.asarray(samples).astype(np.int32).astype(np.uint16)
+        self.metrics.record(sum(map(len, frames)), out.nbytes,
+                            _time.perf_counter() - _t0)
         return out

@@ -226,3 +226,19 @@ class TestChunkedDecompress:
 
         with pytest.raises(CmpError):
             decompress_chunked(got[:-3], batch=2)
+
+    def test_checksum_verify_device_path(self, fixed_time, monkeypatch):
+        """Batch (device-parallel) checksum verification agrees with the
+        host path, including mismatch detection."""
+        rng = np.random.default_rng(10)
+        data = _data(rng, 4096)
+        got = compress_chunked(PARAMS, data, chunk_samples=1024, batch=4)
+        from airs_compression_tpu.models.chunked import decompress_chunked
+
+        monkeypatch.setenv("AIRS_TPU_XXH32", "xla")
+        dec = decompress_chunked(got, batch=4)
+        np.testing.assert_array_equal(dec, data)
+        bad = bytearray(got)
+        bad[-1] ^= 0xFF
+        with pytest.raises(CmpError):
+            decompress_chunked(bytes(bad), batch=4)
