@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.encode import PassConfig, encode_blocks_device, model_update_step
 
-__all__ = ["encode_blocks_sharded", "ShardedBatchState"]
+__all__ = ["encode_blocks_sharded", "decode_blocks_sharded",
+           "ShardedBatchState"]
 
 
 def encode_blocks_sharded(mesh: Mesh, cfg: PassConfig, fallback_cfg,
@@ -41,6 +42,33 @@ def encode_blocks_sharded(mesh: Mesh, cfg: PassConfig, fallback_cfg,
     checksum = jax.device_put(checksum, shard_b)
     return encode_blocks_device(cfg, fallback_cfg, x, model, seq, id_hi,
                                 id_lo, checksum, n_words)
+
+
+def decode_blocks_sharded(mesh: Mesh, cfg: PassConfig, words, model,
+                          n_samples: int, axis_name: str = "dp",
+                          g_dyn=None, outlier_dyn=None):
+    """Decode-side data parallelism: block-axis sharded device decode.
+
+    Mirrors :func:`encode_blocks_sharded` — each device decodes its
+    B/n_dev frames independently (Golomb decode is bit-serial *within* a
+    stream but blocks are independent, so DP is the decode-side scaling
+    axis; reference-format consequence, SURVEY §2.5).  Per-lane
+    ``g_dyn``/``outlier_dyn`` shard with the blocks (header-driven
+    adaptive streams decode data-parallel too).
+    """
+    from ..ops.decode import decode_blocks_device
+
+    shard_bn = NamedSharding(mesh, P(axis_name, None))
+    shard_b = NamedSharding(mesh, P(axis_name))
+
+    words = jax.device_put(words, shard_bn)
+    model = jax.device_put(model, shard_bn)
+    if g_dyn is not None:
+        g_dyn = jax.device_put(jnp.asarray(g_dyn), shard_b)
+    if outlier_dyn is not None:
+        outlier_dyn = jax.device_put(jnp.asarray(outlier_dyn), shard_b)
+    return decode_blocks_device(cfg, words, model, n_samples,
+                                g_dyn=g_dyn, outlier_dyn=outlier_dyn)
 
 
 class ShardedBatchState:
