@@ -391,9 +391,24 @@ def encode_blocks_device(cfg: PassConfig, fallback_cfg, x: jax.Array,
         # exactly when the frame exceeds the uncompressed frame size.
         unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
         fell_back = sizes > unc_size
-        fb_words, fb_sizes = _encode_one_pass(
-            fallback_cfg, x, model, jnp.zeros_like(seq), id_hi, id_lo,
-            checksum, n_words)
+
+        # The fallback frames are only materialized when some block
+        # actually fell back: lax.cond executes one branch at runtime, so
+        # the common all-compressible batch pays nothing for having the
+        # fallback armed (the reference pays its probe per block,
+        # cmp.c:362-392; here the probe is the size comparison above).
+        def _mk_fb(args):
+            x_, model_, seq_ = args
+            return _encode_one_pass(
+                fallback_cfg, x_, model_, jnp.zeros_like(seq_), id_hi,
+                id_lo, checksum, n_words)
+
+        def _mk_none(args):
+            return (jnp.zeros((B, n_words), _U32),
+                    jnp.zeros((B,), jnp.int32))
+
+        fb_words, fb_sizes = jax.lax.cond(
+            jnp.any(fell_back), _mk_fb, _mk_none, (x, model, seq))
         words = jnp.where(fell_back[:, None], fb_words, words)
         sizes = jnp.where(fell_back, fb_sizes, sizes)
     else:
@@ -475,9 +490,19 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
     if fallback_cfg is not None:
         unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
         fell_back = sizes > unc_size
-        fb_words, fb_sizes = _encode_one_pass(
-            fallback_cfg, x, model, jnp.zeros_like(seq), id_hi, id_lo,
-            checksum, n_words)
+
+        def _mk_fb(args):  # see encode_blocks_device: cond skips the
+            x_, model_, seq_ = args  # fallback encode when nobody fell
+            return _encode_one_pass(
+                fallback_cfg, x_, model_, jnp.zeros_like(seq_), id_hi,
+                id_lo, checksum, n_words)
+
+        def _mk_none(args):
+            return (jnp.zeros((B, n_words), _U32),
+                    jnp.zeros((B,), jnp.int32))
+
+        fb_words, fb_sizes = jax.lax.cond(
+            jnp.any(fell_back), _mk_fb, _mk_none, (x, model, seq))
         words = jnp.where(fell_back[:, None], fb_words, words)
         sizes = jnp.where(fell_back, fb_sizes, sizes)
     else:

@@ -780,8 +780,10 @@ def collect_cpu_stages(handles):
                     if ln.startswith("{")]
             if proc.returncode == 0 and last:
                 parsed = _json.loads(last[-1])
-                RESULT["dp_scaling"] = {"backend": parsed.get("backend"),
-                                        "rows": parsed["rows"]}
+                RESULT["dp_scaling"] = {
+                    "backend": parsed.get("backend"),
+                    "host_cores": parsed.get("host_cores"),
+                    "rows": parsed["rows"]}
                 log(f"dp_scaling: {len(parsed['rows'])} mesh points, "
                     f"eff@8 = "
                     f"{parsed['rows'][-1].get('weak_efficiency_pct')}%")

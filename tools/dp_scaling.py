@@ -105,7 +105,12 @@ def main():
     for r in rows:
         r["weak_efficiency_pct"] = round(100.0 * t1 / r["ms"], 1)
     print(json.dumps({"metric": "dp_weak_scaling",
-                      "backend": jax.default_backend(), "rows": rows}))
+                      "backend": jax.default_backend(),
+                      # virtual devices beyond the physical core count
+                      # share cores: the curve then measures sharded-path
+                      # overhead, not hardware speedup
+                      "host_cores": os.cpu_count(),
+                      "rows": rows}))
 
 
 if __name__ == "__main__":
