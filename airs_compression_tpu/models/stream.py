@@ -361,26 +361,39 @@ class BatchDecompressor:
             key = (h.preprocessing, h.encoder_type, h.checksum_enabled)
             groups.setdefault(key, np.zeros(self.batch, bool))[i] = True
         samples = None
+        end_bits = np.zeros(self.batch, np.int64)
         for (prep, enc, cs), mask in groups.items():
             if prep == 0 and enc == 0:
                 s = decode_blocks_uncompressed(words_dev, self.n_samples)
+                end_bits[mask] = 128 + 16 * self.n_samples
             else:
                 cfg, g_dyn, o_dyn = self._group_cfg(
                     prep, enc, cs, g_np[mask], o_np[mask])
                 if g_dyn is not None:
                     # full-batch per-lane parameters (masked lanes decode
                     # garbage, discarded by the select below)
-                    s, _ = decode_blocks_device(
+                    s, e = decode_blocks_device(
                         cfg, words_dev, self.model, self.n_samples,
                         g_dyn=jnp.asarray(np.where(mask, g_np, 1)),
                         outlier_dyn=jnp.asarray(np.where(mask, o_np, 1)))
                 else:
-                    s, _ = decode_blocks_device(
+                    s, e = decode_blocks_device(
                         cfg, words_dev, self.model, self.n_samples)
+                end_bits[mask] = np.asarray(e)[mask]
             if samples is None:
                 samples = s
             else:
                 samples = jnp.where(jnp.asarray(mask)[:, None], s, samples)
+
+        # bitstream-exhaustion check, mirroring the host decoder's
+        # "payload exceeds compressed_size" guard (engine/host.py): a
+        # corrupt payload must raise, never silently return garbage
+        for b, h in enumerate(hdrs):
+            limit = h.compressed_size - (4 if h.checksum_enabled else 0)
+            if (int(end_bits[b]) + 7) // 8 > limit:
+                raise CmpError(
+                    CmpErrorCode.INT_BITSTREAM,
+                    f"block {b}: payload exceeds compressed_size")
 
         # model transition identical to the encoder's: per-block seq;
         # fallback frames carry seq 0, which reseeds the model exactly as

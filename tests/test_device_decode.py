@@ -225,3 +225,28 @@ class TestHeaderDrivenDecode:
         bd = BatchDecompressor(params, 1, 8)
         with pytest.raises(CmpError):
             bd.decompress_frames([bytes(bad)])
+
+    def test_corrupt_payload_raises_not_garbage(self):
+        """Device decode mirrors the host 'payload exceeds
+        compressed_size' guard instead of silently returning junk."""
+        from airs_compression_tpu.format.errors import CmpError
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=1)
+        B, N = 4, 256
+        rng = np.random.default_rng(5)
+        frames = ((1100 + rng.normal(0, 2, (B, N))).astype(np.int64)
+                  & 0xFFFF).astype(np.uint16)
+        bc = BatchCompressor(params, B, N)
+        outs = bc.compress_frames(frames)
+        # overwrite one payload with all-ones: g=1 codes become huge
+        # unary runs that exhaust the bitstream
+        bad = bytearray(outs[2])
+        for i in range(22, len(bad)):
+            bad[i] = 0xFF
+        outs = list(outs)
+        outs[2] = bytes(bad)
+        bd = BatchDecompressor(params, B, N)
+        with pytest.raises(CmpError):
+            bd.decompress_frames(outs)
