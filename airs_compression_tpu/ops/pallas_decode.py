@@ -220,7 +220,21 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
             out_ref[0, pl.ds(i, 1)] = val[None]
             return 0
 
-        jax.lax.fori_loop(0, n_samples, step, 0)
+        # unroll pairs of samples per loop iteration to amortize the
+        # fori_loop's per-iteration overhead (the decode chain itself is
+        # serial; cadence predicates use the true sample index)
+        import os as _os
+
+        u = int(_os.environ.get("AIRS_TPU_DECODE_UNROLL", "2"))
+        if u > 1 and n_samples % u == 0:
+            def stepu(j, _):
+                for k in range(u):
+                    step(j * u + k, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_samples // u, stepu, 0)
+        else:
+            jax.lax.fori_loop(0, n_samples, step, 0)
         endpos_ref[:] = (st[3].astype(jnp.int32) * 32
                          - st[2].astype(jnp.int32))[None, None]
 

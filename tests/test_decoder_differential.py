@@ -113,3 +113,39 @@ def test_random_garbage_agrees(monkeypatch):
         blob = rng.integers(0, 256, n).astype(np.uint8).tobytes()
         a, b = _decode_both(monkeypatch, blob)
         assert a == b
+
+
+def test_chunked_device_decode_equals_host_on_random_streams(monkeypatch):
+    """Property fuzz: decompress_chunked == host decompress on random
+    multi-block streams (mixed configs, sizes, fallback, checksum)."""
+    import dataclasses
+
+    from airs_compression_tpu import decompress
+    from airs_compression_tpu.models.chunked import decompress_chunked
+
+    rng = np.random.default_rng(7)
+    base = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                     primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                     primary_encoder_param=2,
+                     uncompressed_fallback_enabled=True,
+                     checksum_enabled=True)
+    for trial in range(6):
+        n_blocks = int(rng.integers(2, 9))
+        n = int(rng.integers(4, 40)) * 16
+        parts = []
+        expect = []
+        for b in range(n_blocks):
+            g = int(rng.integers(1, 9))
+            p = dataclasses.replace(base, primary_encoder_param=g)
+            if rng.integers(0, 3) == 0:  # noise block -> fallback
+                data = rng.integers(0, 1 << 16, n).astype(np.uint16)
+            else:
+                data = ((1100 + rng.normal(0, g, n)).astype(np.int64)
+                        & 0xFFFF).astype(np.uint16)
+            parts.append(CmpContext(p).compress_u16(data))
+            expect.append(data)
+        stream = b"".join(parts)
+        got = decompress_chunked(stream, batch=4)
+        ref, _ = decompress(stream)
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got, np.concatenate(expect))
