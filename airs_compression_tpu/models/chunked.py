@@ -174,16 +174,13 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                 # batch-parallel verification (device XXH32 when not on
                 # the CPU backend; the reference computes it inline per
                 # block, lib/compress/cmp.c:314-319)
-                import os as _os
+                from ..ops.xxh32_device import (
+                    checksum_blocks_device,
+                    use_device_checksum,
+                )
 
-                import jax as _jax
-
-                if (_jax.default_backend() != "cpu"
-                        or _os.environ.get("AIRS_TPU_XXH32")
-                        in ("xla", "pallas")):
+                if use_device_checksum():
                     import jax.numpy as _jnp
-
-                    from ..ops.xxh32_device import checksum_blocks_device
 
                     calc_batch = np.asarray(checksum_blocks_device(
                         _jnp.asarray(decoded[: j - i], _jnp.int32)))

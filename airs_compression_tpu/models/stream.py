@@ -152,15 +152,15 @@ class BatchCompressor:
         id_lo = jnp.asarray((self.identifiers & 0xFFFFFF).astype(np.uint32))
 
         if self.params.checksum_enabled:
-            import os as _os
+            from ..ops.xxh32_device import (
+                checksum_blocks_device,
+                use_device_checksum,
+            )
 
-            if (jax.default_backend() != "cpu"
-                    or _os.environ.get("AIRS_TPU_XXH32") in ("xla", "pallas")):
+            if use_device_checksum():
                 # batch-parallel on device; the result feeds the encoder
                 # without ever visiting the host (was: a sequential host
                 # loop in the middle of the device pipeline)
-                from ..ops.xxh32_device import checksum_blocks_device
-
                 checksum = checksum_blocks_device(x)
             else:
                 csums = np.fromiter(
@@ -276,13 +276,8 @@ class BatchDecompressor:
         self.batch = batch
         self.n_samples = n_samples
         self.cmp_type = cmp_type
-        unsigned = cmp_type is CmpType.U16
-        self.unsigned = unsigned
-        self.primary_cfg = make_pass_config(params, False, unsigned)
-        self.secondary_cfg = (make_pass_config(params, True, unsigned)
-                              if params.secondary_iterations else None)
+        self.unsigned = cmp_type is CmpType.U16
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
-        self.seq = 0
         from ..utils.profiling import ThroughputMeter
 
         self.metrics = ThroughputMeter()
@@ -341,6 +336,11 @@ class BatchDecompressor:
                 raise CmpError(CmpErrorCode.INT_HDR,
                                f"unknown method {h.preprocessing}/"
                                f"{h.encoder_type}")
+            if h.encoder_type != 0 and not (1 <= h.encoder_param <= 0xFFFF):
+                # same guard as the host decoder (engine/host.py): a
+                # zero/overflowing Golomb parameter is a corrupt header
+                raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                               "bad Golomb parameter in header")
             hdrs.append(h)
         seq_np = np.asarray([h.sequence_number for h in hdrs], np.int32)
         g_np = np.asarray([h.encoder_param for h in hdrs], np.uint32)

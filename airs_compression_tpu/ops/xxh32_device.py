@@ -211,6 +211,21 @@ def xxh32_blocks_pallas(x: jax.Array, seed: int = CHECKSUM_SEED,
     return _finalize(h)
 
 
+def use_device_checksum() -> bool:
+    """Should checksums route through the device implementations?
+
+    True on any non-CPU backend; ``AIRS_TPU_XXH32=xla|pallas`` forces it
+    on CPU too (tests exercise the device path there).  The single
+    routing predicate for every caller (BatchCompressor, chunked
+    decompress verification).
+    """
+    import os
+
+    if os.environ.get("AIRS_TPU_XXH32") in ("xla", "pallas"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def checksum_blocks_device(x: jax.Array) -> jax.Array:
     """AIRSPACE per-block checksum on the best available device path."""
     import os

@@ -10,7 +10,12 @@ any of it.  Whole files go through `compress_chunked`/`decompress_chunked`.
 Runs on any JAX backend (CPU works; conftest-free standalone script).
 """
 
+import pathlib
+import sys
+
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import airs_compression_tpu as act
 from airs_compression_tpu.models.chunked import (

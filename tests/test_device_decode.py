@@ -250,3 +250,24 @@ class TestHeaderDrivenDecode:
         bd = BatchDecompressor(params, B, N)
         with pytest.raises(CmpError):
             bd.decompress_frames(outs)
+
+    def test_corrupt_golomb_param_raises_cmp_error(self):
+        """A zeroed encoder_param in a header must raise CmpError, not a
+        raw ValueError (host-decoder guard parity; found by review)."""
+        from airs_compression_tpu.format.errors import CmpError
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4)
+        B, N = 2, 64
+        rng = np.random.default_rng(6)
+        frames = ((1100 + rng.normal(0, 2, (B, N))).astype(np.int64)
+                  & 0xFFFF).astype(np.uint16)
+        bc = BatchCompressor(params, B, N)
+        outs = list(bc.compress_frames(frames))
+        bad = bytearray(outs[1])
+        bad[17:19] = b"\x00\x00"  # extension encoder_param := 0
+        outs[1] = bytes(bad)
+        bd = BatchDecompressor(params, B, N)
+        with pytest.raises(CmpError):
+            bd.decompress_frames(outs)
