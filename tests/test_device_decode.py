@@ -271,3 +271,84 @@ class TestHeaderDrivenDecode:
         bd = BatchDecompressor(params, B, N)
         with pytest.raises(CmpError):
             bd.decompress_frames(outs)
+
+    def test_adaptive_model_chain_roundtrip(self):
+        """Adaptive selection on BOTH passes of a MODEL chain decodes on
+        device across several frames (per-block g travels per header)."""
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4,
+                           secondary_iterations=10,
+                           secondary_preprocessing=Preprocessing.MODEL,
+                           secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           secondary_encoder_param=4, model_rate=8)
+        B, N = 4, 128
+        rng = np.random.default_rng(9)
+        bc = BatchCompressor(params, B, N, adaptive=True)
+        bd = BatchDecompressor(params, B, N)
+        base = (1100 + rng.normal(0, 3, (B, N))).astype(np.int64)
+        seen_g = set()
+        from airs_compression_tpu import CmpHeader
+
+        for step in range(4):
+            sigma = [0.5, 2, 8, 32][step % 4]
+            frames = ((base + rng.normal(0, sigma, (B, N))).astype(np.int64)
+                      & 0xFFFF).astype(np.uint16)
+            outs = bc.compress_frames(frames)
+            seen_g |= {CmpHeader.deserialize(f)[0].encoder_param
+                       for f in outs}
+            dec = bd.decompress_frames(outs)
+            np.testing.assert_array_equal(dec, frames,
+                                          err_msg=f"step {step}")
+        assert len(seen_g) > 1
+
+
+def test_randomized_config_sweep_device_vs_host():
+    """Randomized parameter sweep: device batch frames byte-match per-
+    block host contexts (identifier bytes masked) and device-decode back."""
+    import dataclasses
+
+    from airs_compression_tpu.engine.context import set_timestamp_func
+
+    rng = np.random.default_rng(0)
+    preps = [Preprocessing.NONE, Preprocessing.DIFF, Preprocessing.IWT]
+    encs = [EncoderType.UNCOMPRESSED, EncoderType.GOLOMB_ZERO,
+            EncoderType.GOLOMB_MULTI]
+
+    def mask_id(b):
+        out = bytearray(b)
+        out[8:14] = b"\x00" * 6
+        return bytes(out)
+
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        for trial in range(10):
+            prep = preps[int(rng.integers(0, len(preps)))]
+            enc = encs[int(rng.integers(0, len(encs)))]
+            kw = dict(primary_preprocessing=prep,
+                      primary_encoder_type=enc,
+                      checksum_enabled=bool(rng.integers(0, 2)),
+                      uncompressed_fallback_enabled=bool(
+                          rng.integers(0, 2)))
+            if enc != EncoderType.UNCOMPRESSED:
+                kw["primary_encoder_param"] = int(rng.integers(1, 400))
+            if enc == EncoderType.GOLOMB_MULTI:
+                kw["primary_encoder_outlier"] = int(rng.integers(2, 5000))
+            params = CmpParams(**kw)
+            B = int(rng.integers(1, 5))
+            n = int(rng.integers(2, 200))
+            sigma = float(rng.choice([1.0, 30.0, 20000.0]))
+            frames = ((1100 + rng.normal(0, sigma, (B, n))).astype(np.int64)
+                      & 0xFFFF).astype(np.uint16)
+            bc = BatchCompressor(params, B, n)
+            outs = bc.compress_frames(frames)
+            refs = [CmpContext(params).compress_u16(frames[b])
+                    for b in range(B)]
+            for b in range(B):
+                assert mask_id(outs[b]) == mask_id(refs[b]), \
+                    f"trial {trial} block {b} params {kw}"
+            dec = BatchDecompressor(params, B, n).decompress_frames(outs)
+            np.testing.assert_array_equal(dec, frames,
+                                          err_msg=f"trial {trial} {kw}")
+    finally:
+        set_timestamp_func(None)
