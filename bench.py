@@ -818,19 +818,24 @@ def stage_verify_configs():
 
     vod = importlib.import_module("verify_on_device")
     ok = 0
-    for conf in vod.CONFIGS:
+    jobs = [(vod.run_config, conf) for conf in vod.CONFIGS]
+    jobs += [(vod.run_chain_config, name) for name in vod.CHAIN_CONFIGS]
+    for fn, conf in jobs:
         if remaining() < 300:
             log("config sweep: deadline near, stopping early")
             break
         try:
             fails = with_alarm(min(remaining() - 120, 420),
-                               vod.run_config, conf, 128, 512)
+                               fn, conf, 64 if fn is vod.run_chain_config
+                               else 128, 512)
             if fails == 0:
                 ok += 1
             else:
                 log(f"config {conf}: {fails} mismatches")
         except _Timeout:
             log(f"config {conf}: compile watchdog expired, skipping")
+        except Exception as e:
+            log(f"config {conf}: {type(e).__name__} {e}")
     RESULT["hw_verified_configs"] = ok
 
 

@@ -90,9 +90,78 @@ def run_config(conf, B: int = 256, N: int = 512) -> int:
     return bad
 
 
+# Stream-shaped hardware checks: the full batched wrapper (fallback,
+# model chains, adaptive per-block parameters) encode -> device decode
+# round-trip, with the encode side byte-checked against per-block host
+# contexts (identifier bytes masked: draw order differs by construction).
+CHAIN_CONFIGS = ["fallback", "adaptive", "model-chain"]
+
+
+def run_chain_config(name: str, B: int = 64, N: int = 512) -> int:
+    from airs_compression_tpu.models.stream import (
+        BatchCompressor,
+        BatchDecompressor,
+    )
+
+    rng = np.random.default_rng(11)
+    if name == "fallback":
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=1,
+                           uncompressed_fallback_enabled=True)
+    elif name == "adaptive":
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4)
+    else:  # model-chain
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4,
+                           secondary_iterations=5,
+                           secondary_preprocessing=Preprocessing.MODEL,
+                           secondary_encoder_type=EncoderType.GOLOMB_MULTI,
+                           secondary_encoder_param=2,
+                           secondary_encoder_outlier=40, model_rate=8)
+    bc = BatchCompressor(params, B, N, adaptive=(name == "adaptive"))
+    bd = BatchDecompressor(params, B, N)
+    base = (1100 + rng.normal(0, 4, (B, N))).astype(np.int64)
+    bad = 0
+    ctxs = None
+    for step in range(3):
+        sigma = [2, 30, 5][step]
+        frames = ((base + rng.normal(0, sigma, (B, N))).astype(np.int64)
+                  & 0xFFFF).astype(np.uint16)
+        if name == "fallback":
+            frames[: B // 2] = rng.integers(0, 1 << 16, (B // 2, N))
+        outs = bc.compress_frames(frames)
+        dec = bd.decompress_frames(outs)
+        if not np.array_equal(dec, frames):
+            bad += 1
+        if name == "model-chain":
+            # encode-side parity vs per-block host contexts
+            set_timestamp_func(lambda: (0, 0))
+            try:
+                if ctxs is None:
+                    ctxs = [CmpContext(params) for _ in range(B)]
+                for b in range(0, B, 16):
+                    ref = bytearray(ctxs[b].compress_u16(frames[b]))
+                    dev = bytearray(outs[b])
+                    ref[8:14] = dev[8:14] = b"\0" * 6
+                    if ref != dev:
+                        bad += 1
+            finally:
+                set_timestamp_func(None)
+    status = "round-trips" if not bad else f"{bad} FAILURES"
+    print(f"chain:{name:12s}: {B} blocks x 3 frames {status}",
+          file=sys.stderr)
+    return bad
+
+
 def main(B: int = 256, N: int = 512) -> int:
     print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
     fails = sum(run_config(conf, B, N) for conf in CONFIGS)
+    fails += sum(run_chain_config(n, max(B // 4, 16), N)
+                 for n in CHAIN_CONFIGS)
     print(f"verify_on_device: {fails} failures", file=sys.stderr)
     return 1 if fails else 0
 
