@@ -48,7 +48,8 @@ from ..ops.preprocess import model_forward, model_update, wrap16
 from ..ops.preprocess import _iwt_level as _iwt_level_local
 from ..utils.xxh32 import cmp_checksum_chunked
 
-__all__ = ["compress_long_stream", "LongStreamCompressor"]
+__all__ = ["compress_long_stream", "LongStreamCompressor",
+           "stream_chunk_index", "decompress_long_stream"]
 
 
 # -- sharded IWT -----------------------------------------------------------
@@ -324,6 +325,140 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
         csum = cmp_checksum_chunked(x_np.reshape(D, -1))
         frame[size - 4 : size] = csum.to_bytes(4, "big")
     return bytes(frame)
+
+
+# -- parallel decode of ONE long block (sidecar-indexed) -------------------
+#
+# Golomb decoding is bit-serial: inside a single AIRSPACE block there is
+# no format-level sync point, so a huge block decodes host-serially in
+# principle (the price of the format, SURVEY §7.1).  This buys the
+# parallelism back OUTSIDE the format: a sidecar of per-chunk payload bit
+# lengths (4 bytes per 1024 samples ≈ 0.2% of the data) lets every chunk
+# start its cursor independently — the stream becomes a batch of chunk
+# lanes for the SAME lockstep Pallas decoder used for block batches.  The
+# frame stays format-pure; the sidecar is derivable from the samples (or
+# from one sequential decode) and is validated on use: every lane's end
+# position must land exactly on its chunk boundary.
+
+
+def stream_chunk_index(params: CmpParams, samples_u16,
+                       chunk_samples: int = 1024, secondary: bool = False,
+                       model=None) -> np.ndarray:
+    """Per-chunk payload bit lengths for one long block (the sidecar).
+
+    Computed from the samples with one cheap device pass (preprocess +
+    closed-form codeword lengths + chunk sums) — no packing, no decode.
+    """
+    from ..ops.preprocess import preprocess_forward
+
+    cfg = make_pass_config(params, secondary, True)
+    if cfg.enc_type not in (1, 2):
+        raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                       "chunk index applies to Golomb-coded blocks")
+    x_np = np.ascontiguousarray(np.asarray(samples_u16, dtype=np.uint16))
+    n = x_np.size
+    if n % chunk_samples:
+        raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                       f"stream length {n} not divisible by chunk "
+                       f"{chunk_samples}")
+    x = jnp.asarray(x_np.view(np.int16), jnp.int32)[None]
+    m = (jnp.asarray(np.asarray(model, np.int16), jnp.int32)[None]
+         if model is not None else None)
+    res = preprocess_forward(cfg.prep, x, m)[0]
+    _, _, lens = golomb.encode_codewords(res, cfg.enc_type, cfg.g_par,
+                                         cfg.outlier)
+    return np.asarray(
+        jnp.sum(lens.reshape(-1, chunk_samples), axis=-1)).astype(np.int64)
+
+
+def decompress_long_stream(frame: bytes, chunk_bits, cmp_type=None,
+                           model=None, verify_checksum: bool = True):
+    """Decode ONE long Golomb block chunk-parallel on device.
+
+    ``chunk_bits`` is the sidecar from :func:`stream_chunk_index` (per-
+    chunk payload bit lengths).  Each chunk's 32-bit-word window is
+    gathered from the stream and funnel-shifted so its first codeword
+    sits exactly where the lockstep decoder expects a block's payload —
+    the kernel itself is unchanged.  Integrity: every lane's decode end
+    position must land exactly on its chunk boundary (a wrong/corrupt
+    sidecar or payload raises INT_BITSTREAM), and the trailing XXH32 is
+    verified when present.  Returns the uint16 samples.
+    """
+    from ..format.header import CMP_HDR_MAX_SIZE
+    from ..ops.decode import decode_blocks_device
+    from ..ops.encode import PassConfig
+    from ..ops.preprocess import preprocess_inverse
+    from ..utils.xxh32 import cmp_checksum
+
+    hdr, hsz = CmpHeader.deserialize(frame[:CMP_HDR_MAX_SIZE])
+    if hdr.encoder_type not in (1, 2):
+        raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                       "sidecar decode applies to Golomb-coded blocks")
+    if not (1 <= hdr.encoder_param <= 0xFFFF):
+        raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                       "bad Golomb parameter in header")
+    if hdr.compressed_size > len(frame):
+        raise CmpError(CmpErrorCode.INT_HDR, "truncated frame")
+    n = hdr.original_size // 2
+    chunk_bits = np.asarray(chunk_bits, np.int64)
+    n_chunks = chunk_bits.size
+    if n_chunks == 0 or n % n_chunks:
+        raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                       "chunk index does not tile the stream")
+    chunk = n // n_chunks
+
+    dcfg = PassConfig(0, hdr.encoder_type, hdr.encoder_param,
+                      hdr.encoder_outlier, bool(hdr.checksum_enabled),
+                      0, False, True)
+    hb = dcfg.hdr_bits  # 176: ext present (encoder != NONE)
+
+    padded = frame + b"\x00" * ((-len(frame)) % 4)
+    words = jnp.asarray(
+        np.frombuffer(padded, dtype=">u4").astype(np.uint32))
+    W = words.shape[0]
+
+    # absolute payload bit offset of each chunk; window starts hb bits
+    # earlier so the decoder's header skip lands on the first codeword
+    off = hsz * 8 + np.concatenate(([0], np.cumsum(chunk_bits)[:-1]))
+    if (off[-1] + chunk_bits[-1] + 7) // 8 > hdr.compressed_size:
+        raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                       "chunk index exceeds compressed_size")
+    start = jnp.asarray(off - hb, jnp.int32)
+    c_lane = (hb + chunk * dcfg.worst_bits_per_sample + 63) // 32 + 2
+    base = start >> 5
+    r = (start & 31).astype(jnp.uint32)[:, None]
+    idx = base[:, None] + jnp.arange(c_lane, dtype=jnp.int32)[None, :]
+    win = jnp.where(idx < W, words[jnp.clip(idx, 0, W - 1)], jnp.uint32(0))
+    nxt = jnp.concatenate(
+        [win[:, 1:], jnp.zeros((n_chunks, 1), jnp.uint32)], axis=-1)
+    win = jnp.where(r == 0, win,
+                    (win << r) | ((nxt >> jnp.uint32(1))
+                                  >> (jnp.uint32(31) - r)))
+
+    residuals, end = decode_blocks_device(
+        dcfg, win, jnp.zeros((n_chunks, chunk), jnp.int32), chunk)
+    end_np = np.asarray(end, np.int64)
+    if not np.array_equal(end_np, hb + chunk_bits):
+        raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                       "chunk decode did not land on its boundary "
+                       "(corrupt payload or sidecar)")
+
+    if hdr.preprocessing == int(Preprocessing.MODEL):
+        if model is None:
+            raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                           "MODEL preprocessing requires model state")
+        m = jnp.asarray(np.asarray(model, np.int16), jnp.int32)[None]
+    else:
+        m = None
+    samples = preprocess_inverse(hdr.preprocessing,
+                                 residuals.reshape(1, n), m)[0]
+    out = np.asarray(samples).astype(np.int32).astype(np.uint16)
+    if verify_checksum and hdr.checksum_enabled:
+        stored = int.from_bytes(
+            frame[hdr.compressed_size - 4 : hdr.compressed_size], "big")
+        if cmp_checksum(out) != stored:
+            raise CmpError(CmpErrorCode.GENERIC, "checksum mismatch")
+    return out
 
 
 class LongStreamCompressor:

@@ -266,3 +266,86 @@ def test_sp_pallas_pack_path_bit_identical(monkeypatch):
     got = compress_long_stream(mesh, params, data, identifier=7)
     _sharded_encode_program.cache_clear()
     assert got == ref
+
+
+class TestSidecarParallelDecode:
+    """Chunk-parallel decode of ONE long block via the bit-offset sidecar
+    (parallel/sp.stream_chunk_index + decompress_long_stream)."""
+
+    def _roundtrip(self, params, data, model=None, chunk=1024):
+        import jax
+        from jax.sharding import Mesh
+
+        from airs_compression_tpu.parallel.sp import (
+            compress_long_stream,
+            decompress_long_stream,
+            stream_chunk_index,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+        frame = compress_long_stream(mesh, params, data, model=model)
+        side = stream_chunk_index(params, data, chunk_samples=chunk,
+                                  model=model)
+        out = decompress_long_stream(frame, side, model=model)
+        np.testing.assert_array_equal(out, data)
+        return frame, side
+
+    @pytest.mark.parametrize("prep", ["diff", "iwt", "none"])
+    def test_roundtrip_preprocessings(self, prep):
+        from airs_compression_tpu.format.params import (
+            CmpParams,
+            EncoderType,
+            Preprocessing,
+        )
+
+        P_ = {"diff": Preprocessing.DIFF, "iwt": Preprocessing.IWT,
+              "none": Preprocessing.NONE}[prep]
+        params = CmpParams(primary_preprocessing=P_,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4, checksum_enabled=True)
+        rng = np.random.default_rng(20)
+        n = 8192
+        data = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        self._roundtrip(params, data)
+
+    def test_roundtrip_multi_encoder(self):
+        from airs_compression_tpu.format.params import (
+            CmpParams,
+            EncoderType,
+            Preprocessing,
+        )
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_MULTI,
+                           primary_encoder_param=3,
+                           primary_encoder_outlier=40)
+        rng = np.random.default_rng(21)
+        data = ((1100 + rng.standard_t(2, 8192) * 20).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        self._roundtrip(params, data)
+
+    def test_corrupt_sidecar_or_payload_detected(self):
+        from airs_compression_tpu.format.errors import CmpError
+        from airs_compression_tpu.format.params import (
+            CmpParams,
+            EncoderType,
+            Preprocessing,
+        )
+        from airs_compression_tpu.parallel.sp import decompress_long_stream
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4, checksum_enabled=True)
+        rng = np.random.default_rng(22)
+        data = ((1100 + rng.normal(0, 6, 4096)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        frame, side = self._roundtrip(params, data)
+        bad_side = side.copy()
+        bad_side[1] += 3  # shifted boundary -> lanes land off-boundary
+        with pytest.raises(CmpError):
+            decompress_long_stream(frame, bad_side)
+        bad = bytearray(frame)
+        bad[40] ^= 0x10  # payload corruption
+        with pytest.raises(CmpError):
+            decompress_long_stream(bytes(bad), side)
