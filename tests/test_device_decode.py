@@ -306,8 +306,6 @@ class TestHeaderDrivenDecode:
 def test_randomized_config_sweep_device_vs_host():
     """Randomized parameter sweep: device batch frames byte-match per-
     block host contexts (identifier bytes masked) and device-decode back."""
-    import dataclasses
-
     from airs_compression_tpu.engine.context import set_timestamp_func
 
     rng = np.random.default_rng(0)

@@ -142,7 +142,8 @@ def run_chain_config(name: str, B: int = 64, N: int = 512) -> int:
             set_timestamp_func(lambda: (0, 0))
             try:
                 if ctxs is None:
-                    ctxs = [CmpContext(params) for _ in range(B)]
+                    ctxs = {b: CmpContext(params)
+                            for b in range(0, B, 16)}
                 for b in range(0, B, 16):
                     ref = bytearray(ctxs[b].compress_u16(frames[b]))
                     dev = bytearray(outs[b])
