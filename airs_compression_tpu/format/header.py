@@ -41,6 +41,8 @@ __all__ = [
     "CMP_VERSION_STRING",
     "CHECKSUM_SEED",
     "CmpHeader",
+    "HeaderBatch",
+    "parse_headers_batch",
 ]
 
 # Sizes (bytes)
@@ -164,3 +166,67 @@ class CmpHeader:
         hdr.encoder_param = int.from_bytes(src[17:19], "big")
         hdr.encoder_outlier = int.from_bytes(src[19:22], "big")
         return hdr, CMP_HDR_SIZE + CMP_EXT_HDR_SIZE
+
+
+@dataclasses.dataclass
+class HeaderBatch:
+    """Column-wise view of B parsed headers (all fields numpy arrays).
+
+    The batched counterpart of :class:`CmpHeader` for the device decode
+    tiers: one vectorized parse replaces B sequential
+    ``CmpHeader.deserialize`` calls (the per-frame Python loop dominated
+    the public decode wrapper at B=1024).  Field semantics and offsets
+    are identical to :meth:`CmpHeader.deserialize`
+    (reference lib/common/header.c:89-134).
+    """
+
+    compressed_size: "np.ndarray"   # (B,) int64
+    original_size: "np.ndarray"     # (B,) int64
+    identifier: "np.ndarray"        # (B,) uint64
+    sequence_number: "np.ndarray"   # (B,) int32
+    preprocessing: "np.ndarray"     # (B,) int32
+    checksum_enabled: "np.ndarray"  # (B,) int32 (0/1)
+    encoder_type: "np.ndarray"      # (B,) int32
+    model_rate: "np.ndarray"        # (B,) int32 (0 when no extension)
+    encoder_param: "np.ndarray"     # (B,) uint32 (0 when no extension)
+    encoder_outlier: "np.ndarray"   # (B,) uint32 (0 when no extension)
+    header_size: "np.ndarray"       # (B,) int64: 16 or 22
+
+    @property
+    def has_extension(self) -> "np.ndarray":
+        return (self.preprocessing != 0) | (self.encoder_type != 0)
+
+
+def parse_headers_batch(buf) -> HeaderBatch:
+    """Parse B headers from a zero-padded (B, >=22) uint8 byte matrix.
+
+    Performs NO validation (rows whose frames were shorter than their
+    header parse as zeros); callers validate against the known frame
+    lengths (see models/stream.BatchDecompressor.stage_frames).
+    """
+    import numpy as np
+
+    u = buf[:, :CMP_HDR_MAX_SIZE].astype(np.int64)
+    prep = (u[:, 15] >> 4) & 0xF
+    enc = u[:, 15] & 0x7
+    ext = (prep != 0) | (enc != 0)
+    return HeaderBatch(
+        compressed_size=(u[:, 2] << 16) | (u[:, 3] << 8) | u[:, 4],
+        original_size=(u[:, 5] << 16) | (u[:, 6] << 8) | u[:, 7],
+        identifier=(
+            (u[:, 8] << 40) | (u[:, 9] << 32) | (u[:, 10] << 24)
+            | (u[:, 11] << 16) | (u[:, 12] << 8) | u[:, 13]
+        ).astype(np.uint64),
+        sequence_number=u[:, 14].astype(np.int32),
+        preprocessing=prep.astype(np.int32),
+        checksum_enabled=((u[:, 15] >> 3) & 1).astype(np.int32),
+        encoder_type=enc.astype(np.int32),
+        model_rate=np.where(ext, u[:, 16], 0).astype(np.int32),
+        encoder_param=np.where(ext, (u[:, 17] << 8) | u[:, 18],
+                               0).astype(np.uint32),
+        encoder_outlier=np.where(
+            ext, (u[:, 19] << 16) | (u[:, 20] << 8) | u[:, 21],
+            0).astype(np.uint32),
+        header_size=np.where(ext, CMP_HDR_MAX_SIZE, CMP_HDR_SIZE)
+        .astype(np.int64),
+    )

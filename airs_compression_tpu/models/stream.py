@@ -39,7 +39,8 @@ from ..ops.encode import (
 )
 from ..utils.xxh32 import cmp_checksum
 
-__all__ = ["BatchCompressor", "BatchDecompressor"]
+__all__ = ["BatchCompressor", "BatchDecompressor", "StagedFrames",
+           "DecodedFrames"]
 
 
 class BatchCompressor:
@@ -247,6 +248,46 @@ class BatchCompressor:
         return frames_out
 
 
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class StagedFrames:
+    """Host-staged batch: parsed header columns + the padded word matrix.
+
+    Produced by :meth:`BatchDecompressor.stage_frames`; everything here
+    is validated numpy (no Python per-frame state), ready for one
+    ``jnp.asarray`` upload.
+    """
+
+    words: "np.ndarray"          # (B, n_words) uint32, BE word values
+    n_words: int
+    prep: "np.ndarray"           # (B,) int32
+    enc: "np.ndarray"            # (B,) int32
+    cs: "np.ndarray"             # (B,) int32 0/1
+    seq: "np.ndarray"            # (B,) int32
+    g: "np.ndarray"              # (B,) uint32
+    outlier: "np.ndarray"        # (B,) uint32
+    csize: "np.ndarray"          # (B,) int64
+    stored_csum: "np.ndarray"    # (B,) uint32 (0 where cs == 0)
+    nbytes: int                  # total compressed input bytes
+
+
+@_dataclasses.dataclass
+class DecodedFrames:
+    """Device-side decode result, integrity checks not yet applied.
+
+    ``samples``/``end_bits``/``csum`` are device arrays; fetching them is
+    the caller's (or :meth:`BatchDecompressor.finish`'s) choice, so a
+    pipelined consumer can keep everything on device and defer the
+    integrity fetch to a batch boundary.
+    """
+
+    samples: jax.Array           # (B, N) int32
+    end_bits: jax.Array          # (B,) payload end bit position
+    csum: "jax.Array | None"     # (B,) uint32 computed XXH32, or None
+
+
 class BatchDecompressor:
     """Device decode of lockstep chains: B frames per call, model carried.
 
@@ -265,18 +306,27 @@ class BatchDecompressor:
     * adaptive streams (per-block Golomb parameter in the header,
       ops/adapt.py) decode in ONE device pass with per-lane parameters.
 
+    Integrity contract (reference header.c:137-163): blocks whose method
+    byte carries the checksum bit are verified against their trailing
+    XXH32 with the batch-parallel device kernel
+    (ops/xxh32_device.checksum_blocks_device); a mismatch raises
+    ``CmpError`` exactly like the host decoder.  ``verify_checksum=False``
+    opts out (same switch as the chunked tier).
+
     The generic per-block host decoder (engine/decode.py) remains the
     oracle for arbitrary streams.
     """
 
     def __init__(self, params: CmpParams, batch: int, n_samples: int,
-                 cmp_type: CmpType = CmpType.U16):
+                 cmp_type: CmpType = CmpType.U16,
+                 verify_checksum: bool = True):
         params.validate()
         self.params = params
         self.batch = batch
         self.n_samples = n_samples
         self.cmp_type = cmp_type
         self.unsigned = cmp_type is CmpType.U16
+        self.verify_checksum = verify_checksum
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
         from ..utils.profiling import ThroughputMeter
 
@@ -311,99 +361,198 @@ class BatchDecompressor:
                          self.params.model_rate, prep == 3, self.unsigned)
         return cfg, g_vals, o_vals
 
-    def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
-        """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""
-        import time as _time
+    # -- staging (host, vectorized) --------------------------------------
+    def stage_frames(self, frames: "list[bytes]") -> StagedFrames:
+        """Parse + validate B frames into one padded word matrix.
 
-        from ..format.header import CmpHeader
+        All per-frame work is vectorized numpy (one ``b"".join`` memcpy
+        when frame lengths are uniform — the common lockstep case); the
+        validation matrix reproduces the host decoder's per-frame check
+        order exactly (first offending block raises its first failing
+        check).
+        """
+        from ..format.header import (
+            CMP_HDR_MAX_SIZE,
+            CMP_HDR_SIZE,
+            parse_headers_batch,
+        )
+
+        if len(frames) != self.batch:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
+        B = self.batch
+        lens = np.fromiter((len(f) for f in frames), np.int64, count=B)
+        max_len = int(lens.max()) if B else 0
+        n_words = (max_len + 3) // 4 + 2
+        # bucket the buffer width so repeated calls with slightly
+        # different frame sizes reuse one compiled decode program
+        n_words = 1 << (n_words - 1).bit_length()
+        stride = n_words * 4
+        buf = np.zeros((B, stride), np.uint8)
+        if (lens == max_len).all():
+            buf[:, :max_len] = np.frombuffer(
+                b"".join(frames), np.uint8).reshape(B, max_len)
+        else:
+            for b, f in enumerate(frames):
+                buf[b, : lens[b]] = np.frombuffer(f, np.uint8)
+
+        h = parse_headers_batch(buf)
+        # validation, same per-frame order as CmpHeader.deserialize + the
+        # host decoder's guards: for each frame the FIRST failing check
+        # wins; the first failing frame raises
+        checks = (
+            (lens < CMP_HDR_SIZE,
+             CmpErrorCode.INT_HDR, "header truncated"),
+            (h.has_extension & (lens < CMP_HDR_MAX_SIZE),
+             CmpErrorCode.INT_HDR, "extended header truncated"),
+            (lens < h.compressed_size,
+             CmpErrorCode.INT_HDR,
+             "frame shorter than header compressed_size"),
+            (h.original_size != 2 * self.n_samples,
+             CmpErrorCode.SRC_SIZE_MISMATCH, None),
+            ((h.preprocessing > 3) | (h.encoder_type > 2),
+             CmpErrorCode.INT_HDR, "unknown method"),
+            ((h.encoder_type != 0)
+             & ~((1 <= h.encoder_param) & (h.encoder_param <= 0xFFFF)),
+             CmpErrorCode.PARAMS_INVALID,
+             "bad Golomb parameter in header"),
+        )
+        fail_rank = np.full(B, len(checks), np.int64)
+        for rank, (bad, _, _) in reversed(list(enumerate(checks))):
+            fail_rank = np.where(bad, rank, fail_rank)
+        bad_blocks = np.nonzero(fail_rank < len(checks))[0]
+        if bad_blocks.size:
+            b = int(bad_blocks[0])
+            _, code, msg = checks[int(fail_rank[b])]
+            raise CmpError(code, None if msg is None
+                           else f"block {b}: {msg}")
+
+        # trailing stored checksum bytes (BE u32 at compressed_size - 4)
+        idx = np.clip(h.compressed_size[:, None] - 4
+                      + np.arange(4)[None, :], 0, stride - 1)
+        tb = np.take_along_axis(buf, idx, axis=1).astype(np.uint32)
+        stored = ((tb[:, 0] << 24) | (tb[:, 1] << 16)
+                  | (tb[:, 2] << 8) | tb[:, 3])
+        stored = np.where(h.checksum_enabled != 0, stored, 0)
+
+        words = buf.reshape(B, n_words, 4).astype(np.uint32)
+        words = ((words[:, :, 0] << 24) | (words[:, :, 1] << 16)
+                 | (words[:, :, 2] << 8) | words[:, :, 3])
+        return StagedFrames(
+            words=words, n_words=n_words,
+            prep=h.preprocessing, enc=h.encoder_type,
+            cs=h.checksum_enabled, seq=h.sequence_number,
+            g=h.encoder_param, outlier=h.encoder_outlier,
+            csize=h.compressed_size, stored_csum=stored.astype(np.uint32),
+            nbytes=int(lens.sum()))
+
+    # -- device decode ----------------------------------------------------
+    def decode_staged(self, st: StagedFrames,
+                      words_dev: "jax.Array | None" = None) -> DecodedFrames:
+        """Run the device decode passes for a staged batch.
+
+        ``words_dev`` lets a caller reuse an already-uploaded word matrix
+        (or keep one device-resident across calls); everything returned
+        stays on device — no host sync happens here.
+        """
         from ..ops.decode import (
             decode_blocks_device,
             decode_blocks_uncompressed,
         )
 
-        _t0 = _time.perf_counter()
-        if len(frames) != self.batch:
-            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
-        hdrs = []
-        for f in frames:
-            h, _ = CmpHeader.deserialize(f)
-            if len(f) < h.compressed_size:
-                raise CmpError(CmpErrorCode.INT_HDR,
-                               "frame shorter than header compressed_size")
-            if h.original_size != 2 * self.n_samples:
-                raise CmpError(CmpErrorCode.SRC_SIZE_MISMATCH)
-            if h.preprocessing > 3 or h.encoder_type > 2:
-                raise CmpError(CmpErrorCode.INT_HDR,
-                               f"unknown method {h.preprocessing}/"
-                               f"{h.encoder_type}")
-            if h.encoder_type != 0 and not (1 <= h.encoder_param <= 0xFFFF):
-                # same guard as the host decoder (engine/host.py): a
-                # zero/overflowing Golomb parameter is a corrupt header
-                raise CmpError(CmpErrorCode.PARAMS_INVALID,
-                               "bad Golomb parameter in header")
-            hdrs.append(h)
-        seq_np = np.asarray([h.sequence_number for h in hdrs], np.int32)
-        g_np = np.asarray([h.encoder_param for h in hdrs], np.uint32)
-        o_np = np.asarray([h.encoder_outlier for h in hdrs], np.uint32)
-        n_words = max((len(f) + 3) // 4 for f in frames) + 2
-        # bucket the buffer width so repeated calls with slightly
-        # different frame sizes reuse one compiled decode program
-        n_words = 1 << (n_words - 1).bit_length()
-        words = np.zeros((self.batch, n_words), dtype=np.uint32)
-        for b, f in enumerate(frames):
-            padded = f + b"\x00" * ((-len(f)) % 4)
-            words[b, : len(padded) // 4] = np.frombuffer(padded, dtype=">u4")
-        words_dev = jnp.asarray(words)
+        if words_dev is None:
+            words_dev = jnp.asarray(st.words)
 
         # header-driven dispatch: one device pass per method group present
-        groups: "dict[tuple[int, int, int], np.ndarray]" = {}
-        for i, h in enumerate(hdrs):
-            key = (h.preprocessing, h.encoder_type, h.checksum_enabled)
-            groups.setdefault(key, np.zeros(self.batch, bool))[i] = True
+        key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)
         samples = None
-        end_bits = np.zeros(self.batch, np.int64)
-        for (prep, enc, cs), mask in groups.items():
+        end_bits = None
+        for k in np.unique(key):
+            mask = key == k
+            prep, enc, cs = int(k) // 16, (int(k) // 2) % 8, int(k) % 2
             if prep == 0 and enc == 0:
                 s = decode_blocks_uncompressed(words_dev, self.n_samples)
-                end_bits[mask] = 128 + 16 * self.n_samples
+                e = jnp.full((self.batch,), 128 + 16 * self.n_samples,
+                             jnp.int32)
             else:
                 cfg, g_dyn, o_dyn = self._group_cfg(
-                    prep, enc, cs, g_np[mask], o_np[mask])
+                    prep, enc, cs, st.g[mask], st.outlier[mask])
                 if g_dyn is not None:
                     # full-batch per-lane parameters (masked lanes decode
                     # garbage, discarded by the select below)
                     s, e = decode_blocks_device(
                         cfg, words_dev, self.model, self.n_samples,
-                        g_dyn=jnp.asarray(np.where(mask, g_np, 1)),
-                        outlier_dyn=jnp.asarray(np.where(mask, o_np, 1)))
+                        g_dyn=jnp.asarray(np.where(mask, st.g, 1)),
+                        outlier_dyn=jnp.asarray(np.where(mask, st.outlier,
+                                                         1)))
                 else:
                     s, e = decode_blocks_device(
                         cfg, words_dev, self.model, self.n_samples)
-                end_bits[mask] = np.asarray(e)[mask]
             if samples is None:
-                samples = s
+                samples, end_bits = s, e
             else:
-                samples = jnp.where(jnp.asarray(mask)[:, None], s, samples)
+                m = jnp.asarray(mask)
+                samples = jnp.where(m[:, None], s, samples)
+                end_bits = jnp.where(m, e.astype(end_bits.dtype), end_bits)
+
+        csum = None
+        if self.verify_checksum and (st.cs != 0).any():
+            from ..ops.xxh32_device import checksum_blocks_device
+
+            csum = checksum_blocks_device(samples)
+        return DecodedFrames(samples=samples, end_bits=end_bits, csum=csum)
+
+    # -- integrity + state transition -------------------------------------
+    def finish(self, st: StagedFrames, dec: DecodedFrames) -> np.ndarray:
+        """Verify integrity, advance the model chain, fetch the samples."""
+        fetch = [dec.end_bits]
+        if dec.csum is not None:
+            fetch.append(dec.csum)
+        fetched = jax.device_get(fetch)
+        end_np = np.asarray(fetched[0], np.int64)
 
         # bitstream-exhaustion check, mirroring the host decoder's
         # "payload exceeds compressed_size" guard (engine/host.py): a
         # corrupt payload must raise, never silently return garbage
-        for b, h in enumerate(hdrs):
-            limit = h.compressed_size - (4 if h.checksum_enabled else 0)
-            if (int(end_bits[b]) + 7) // 8 > limit:
+        limit = st.csize - np.where(st.cs != 0, 4, 0)
+        over = np.nonzero((end_np + 7) // 8 > limit)[0]
+        if over.size:
+            raise CmpError(
+                CmpErrorCode.INT_BITSTREAM,
+                f"block {int(over[0])}: payload exceeds compressed_size")
+
+        # XXH32 trailer enforcement (reference header.c:137-163: the
+        # checksum bit is part of the block contract; the host and
+        # chunked tiers already raise on mismatch — so does this one)
+        if dec.csum is not None:
+            calc = np.asarray(fetched[1], np.uint64)
+            bad = np.nonzero((st.cs != 0)
+                             & (calc != st.stored_csum.astype(np.uint64)))[0]
+            if bad.size:
+                b = int(bad[0])
                 raise CmpError(
-                    CmpErrorCode.INT_BITSTREAM,
-                    f"block {b}: payload exceeds compressed_size")
+                    CmpErrorCode.GENERIC,
+                    f"block {b}: checksum mismatch: stored "
+                    f"{int(st.stored_csum[b]):#010x} != computed "
+                    f"{int(calc[b]):#010x}")
 
         # model transition identical to the encoder's: per-block seq;
         # fallback frames carry seq 0, which reseeds the model exactly as
         # the encoder's fallback reseed does (cmp.c:380-392 + :304-311)
         if self.params.model_is_needed():
             self.model = model_update_step(
-                samples, self.model, jnp.asarray(seq_np),
+                dec.samples, self.model, jnp.asarray(st.seq),
                 jnp.zeros((self.batch,), bool),
                 self.params.model_rate, self.cmp_type is CmpType.U16)
-        out = np.asarray(samples).astype(np.int32).astype(np.uint16)
-        self.metrics.record(sum(map(len, frames)), out.nbytes,
+        return np.asarray(dec.samples).astype(np.int32).astype(np.uint16)
+
+    def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
+        """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        st = self.stage_frames(frames)
+        dec = self.decode_staged(st)
+        out = self.finish(st, dec)
+        self.metrics.record(st.nbytes, out.nbytes,
                             _time.perf_counter() - _t0)
         return out

