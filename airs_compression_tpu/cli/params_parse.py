@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..format.errors import CmpError, CmpErrorCode
 from ..format.params import CmpParams, EncoderType, Preprocessing
 
 __all__ = ["parse_params", "params_to_string", "ParseError"]

@@ -34,12 +34,7 @@ import numpy as np
 
 from ..format.dtypes import CmpType, SampleView
 from ..format.errors import CmpError, CmpErrorCode
-from ..format.header import (
-    CMP_CHECKSUM_SIZE,
-    CMP_HDR_MAX_SIZE,
-    CMP_HDR_SIZE,
-    CmpHeader,
-)
+from ..format.header import CMP_CHECKSUM_SIZE, CmpHeader
 from ..format.params import (
     CmpParams,
     EncoderType,
@@ -265,7 +260,8 @@ def preprocess_forward(method: Preprocessing, samples_i16: np.ndarray,
     if method == Preprocessing.MODEL:
         if model_i16 is None:
             raise CmpError(CmpErrorCode.WORK_BUF_NULL)
-        return (samples_i16.astype(np.int32) - model_i16.view(np.uint16).astype(np.int32)).astype(np.int16)
+        return (samples_i16.astype(np.int32)
+                - model_i16.view(np.uint16).astype(np.int32)).astype(np.int16)
     raise CmpError(CmpErrorCode.PARAMS_INVALID, f"unknown preprocessing {method}")
 
 
@@ -283,7 +279,8 @@ def preprocess_inverse(method: Preprocessing, residuals_i16: np.ndarray,
     if method == Preprocessing.MODEL:
         if model_i16 is None:
             raise CmpError(CmpErrorCode.WORK_BUF_NULL)
-        return (residuals_i16.astype(np.int32) + model_i16.view(np.uint16).astype(np.int32)).astype(np.int16)
+        return (residuals_i16.astype(np.int32)
+                + model_i16.view(np.uint16).astype(np.int32)).astype(np.int16)
     raise CmpError(CmpErrorCode.PARAMS_INVALID, f"unknown preprocessing {method}")
 
 

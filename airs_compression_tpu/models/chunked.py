@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..engine import context as _context
 from ..format.dtypes import CmpType
 from ..format.errors import CmpError, CmpErrorCode
 from ..format.params import CmpParams
@@ -163,40 +162,18 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
             bd = decoders.get((b_pad, n_samples))
             if bd is None:
                 # params only steer model bookkeeping, which these
-                # chain-free blocks don't use; decode is header-driven
+                # chain-free blocks don't use; decode is header-driven.
+                # Checksum trailers are verified INSIDE the batch tier
+                # (batch-parallel device XXH32, stream.finish — the
+                # reference computes it inline per block,
+                # lib/compress/cmp.c:314-319).
                 bd = BatchDecompressor(CmpParams(), b_pad, n_samples,
-                                       cmp_type)
+                                       cmp_type,
+                                       verify_checksum=verify_checksum)
                 decoders[(b_pad, n_samples)] = bd
             decoded = bd.decompress_frames(frames_padded)
-            csum_mask = [h.checksum_enabled for _, h in blocks[i:j]]
-            calc_batch = None
-            if verify_checksum and any(csum_mask):
-                # batch-parallel verification (device XXH32 when not on
-                # the CPU backend; the reference computes it inline per
-                # block, lib/compress/cmp.c:314-319)
-                from ..ops.xxh32_device import (
-                    checksum_blocks_device,
-                    use_device_checksum,
-                )
-
-                if use_device_checksum():
-                    import jax.numpy as _jnp
-
-                    calc_batch = np.asarray(checksum_blocks_device(
-                        _jnp.asarray(decoded[: j - i], _jnp.int32)))
             for k, (o, h) in enumerate(blocks[i:j]):
                 samples = decoded[k]
-                if verify_checksum and h.checksum_enabled:
-                    stored = int.from_bytes(
-                        stream[o + h.compressed_size - 4
-                               : o + h.compressed_size], "big")
-                    calc = (int(calc_batch[k]) if calc_batch is not None
-                            else cmp_checksum(samples))
-                    if calc != stored:
-                        raise CmpError(
-                            CmpErrorCode.GENERIC,
-                            f"checksum mismatch: stored {stored:#010x} != "
-                            f"computed {calc:#010x}")
                 state.update_after_block(h, samples)
                 out_parts[i + k] = samples
             i = j

@@ -132,6 +132,14 @@ def default_cap_bits(cfg: PassConfig) -> "int | None":
         return int(mode)
     if cfg.enc_type == int(EncoderType.UNCOMPRESSED):
         return None
+    if cfg.enc_type == int(EncoderType.GOLOMB_MULTI):
+        # clamp the COMMON code class, not the 48-bit escape worst case:
+        # a MULTI normal code is the same Golomb family as ZERO's, so the
+        # budget derives from the equivalent ZERO width; escape-heavy
+        # blocks overflow the clamp and transparently re-encode at full
+        # capacity (the narrow-path flag covers >32-bit codes too)
+        zero_like = (int(cfg.g_par).bit_length() - 1) + 1 + 16
+        return max(8, zero_like // 2 - 1)
     return max(8, cfg.worst_bits_per_sample // 2 - 1)
 
 
@@ -239,7 +247,7 @@ def _encode_one_pass(cfg: PassConfig, x: jax.Array, model: jax.Array,
         if cap_bits is not None:
             payload, payload_bits, ok = pallas_pack.pack_residuals_pallas(
                 residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb,
-                cap_bits=cap_bits)
+                cap_bits=cap_bits, narrow=wb > 32)
         else:
             payload, payload_bits = pallas_pack.pack_residuals_pallas(
                 residuals, cfg.enc_type, cfg.g_par, cfg.outlier, wb)
@@ -281,7 +289,8 @@ def _finish_frames(cfg: PassConfig, hi, lo, lens, seq, id_hi, id_lo,
     if _use_pallas(B, K, worst_bits):
         if cap_bits is not None:
             payload, payload_bits, ok = pallas_pack.pack_codes_tree_pallas(
-                hi, lo, lens, worst_bits, cap_bits=cap_bits)
+                hi, lo, lens, worst_bits, cap_bits=cap_bits,
+                narrow=worst_bits > 32)
         else:
             payload, payload_bits = pallas_pack.pack_codes_tree_pallas(
                 hi, lo, lens, worst_bits)

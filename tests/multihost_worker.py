@@ -18,7 +18,6 @@ multi-host code path the production deployment uses:
 Usage: multihost_worker.py <process_id> <num_processes> <port> <tmpdir>
 """
 
-import os
 import pathlib
 import sys
 
@@ -39,13 +38,11 @@ multihost_initialize(coordinator_address=f"localhost:{PORT}",
                      num_processes=NPROC, process_id=PID)
 
 import numpy as np
-import jax.numpy as jnp
 from jax.experimental import multihost_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from airs_compression_tpu import CmpParams, CmpContext, EncoderType, Preprocessing, decompress
 from airs_compression_tpu.engine.context import set_timestamp_func
-from airs_compression_tpu.format.errors import CmpError
 from airs_compression_tpu.ops.encode import (
     encode_blocks_device, make_pass_config, worst_case_words)
 from airs_compression_tpu.parallel.gather import (

@@ -6,7 +6,6 @@ import pytest
 import jax.numpy as jnp
 
 from airs_compression_tpu import (
-    CmpContext,
     CmpHeader,
     CmpParams,
     EncoderType,

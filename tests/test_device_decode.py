@@ -9,7 +9,6 @@ from airs_compression_tpu import (
     EncoderType,
     Preprocessing,
 )
-from airs_compression_tpu.format.dtypes import CmpType
 from airs_compression_tpu.models.stream import BatchCompressor, BatchDecompressor
 
 CONFIGS = [

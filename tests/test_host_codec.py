@@ -21,7 +21,6 @@ from airs_compression_tpu import (
     Preprocessing,
     decompress,
 )
-from airs_compression_tpu.format.dtypes import CmpType
 from airs_compression_tpu.engine import host
 from airs_compression_tpu.utils import bits as ubits
 

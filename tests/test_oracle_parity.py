@@ -9,7 +9,6 @@ paths.  Every stream the oracle produces must also round-trip through our
 decoder (the capability the reference lacks).
 """
 
-import itertools
 
 import numpy as np
 import pytest
@@ -17,7 +16,6 @@ import pytest
 from airs_compression_tpu import (
     CmpContext,
     CmpError,
-    CmpErrorCode,
     CmpParams,
     EncoderType,
     Preprocessing,

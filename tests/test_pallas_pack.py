@@ -189,3 +189,50 @@ def test_merge_streams_tree_matches_single_pack():
     c = min(ref_w.shape[-1], got_w.shape[-1])
     nw = (int(ref_b) + 31) // 32
     np.testing.assert_array_equal(ref_w[:nw], got_w[:nw])
+
+
+class TestNarrowMultiPath:
+    """GOLOMB_MULTI narrow packing: tree sized for <= 32-bit codes.
+
+    MULTI's 48-bit worst case is an escape class real data rarely hits;
+    the narrow instantiation runs the one-word level-0 tree (the same
+    cost class as GOLOMB_ZERO) and flags any lane containing a wider
+    code through ``ok`` so the caller re-encodes it at full capacity.
+    """
+
+    def _codes(self, g, outlier, extreme):
+        rng = np.random.default_rng(42)
+        B, K = 128, 64
+        res = rng.normal(0, 0.8, (B, K)).astype(np.int64).astype(np.int16)
+        if extreme:
+            res[::5, 7] = -32768  # escape with a long unary prefix
+        from airs_compression_tpu.ops import golomb
+
+        res_j = jnp.asarray(res.astype(np.int32))
+        return golomb.encode_codewords(res_j, 2, g, outlier)
+
+    def _check(self, hi, lo, ln, cap):
+        from airs_compression_tpu.ops.bitpack import pack_codes_tree
+
+        ln_np = np.asarray(ln)
+        wide = (ln_np > 32).any(axis=1)
+        ref_w, ref_b = map(np.asarray, pack_codes_tree(hi, lo, ln, 48))
+        w, b, ok = map(np.asarray, pack_codes_tree_pallas(
+            hi, lo, ln, 48, cap_bits=cap, interpret=True, narrow=True))
+        np.testing.assert_array_equal(b, ref_b)  # sizes exact always
+        assert not (ok & wide).any(), "wide lanes must be flagged"
+        for i in np.nonzero(ok)[0]:
+            nw = (int(ref_b[i]) + 31) // 32
+            np.testing.assert_array_equal(w[i, :nw], ref_w[i, :nw])
+        return ok, wide
+
+    def test_all_narrow_codes_pack_exactly(self):
+        hi, lo, ln = self._codes(4, 30, extreme=False)
+        ok, wide = self._check(hi, lo, ln, cap=9)
+        assert wide.sum() == 0 and ok.sum() > 0
+
+    def test_wide_codes_are_flagged(self):
+        hi, lo, ln = self._codes(1, 30, extreme=True)
+        ok, wide = self._check(hi, lo, ln, cap=9)
+        assert wide.sum() > 0
+        assert (~ok[wide]).all()

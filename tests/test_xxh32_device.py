@@ -10,7 +10,7 @@ from airs_compression_tpu.ops.xxh32_device import (
     xxh32_blocks,
     xxh32_blocks_pallas,
 )
-from airs_compression_tpu.utils.xxh32 import CHECKSUM_SEED, cmp_checksum
+from airs_compression_tpu.utils.xxh32 import cmp_checksum
 
 
 def _ref(x_np):

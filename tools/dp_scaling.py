@@ -28,7 +28,6 @@ sys.path.insert(0, str(_REPO))
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from airs_compression_tpu.format.params import CmpParams, EncoderType, Preprocessing
 from airs_compression_tpu.ops.encode import (
@@ -110,13 +109,37 @@ def main():
     t1 = rows[0]["ms"]
     for r in rows:
         r["weak_efficiency_pct"] = round(100.0 * t1 / r["ms"], 1)
+
+    # fixed-TOTAL-work curve: same global batch sharded over more
+    # devices.  On shared host cores the weak curve must grow (total
+    # compute grows, cores don't), but this one is flat-ideal — its
+    # growth isolates the sharded path's own overhead, which is the
+    # quantity the >= 90% multi-host target needs to be ~zero.
+    B_tot = B0 * sizes_to_try[-1]
+    frames = ((1100 + rng.normal(0, 6, (B_tot, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    x_tot = frames.view(np.int16).astype(np.int32)
+    rows_fixed = []
+    for d in sizes_to_try:
+        mesh = make_mesh(d)
+        t, _, _ = measure(mesh, cfg, n_words, B_tot, N, x_tot)
+        rows_fixed.append({"devices": d, "blocks": B_tot,
+                           "ms": round(t * 1e3, 2)})
+        print(f"fixed-total d={d:2d}  B={B_tot:4d}  {t*1e3:8.2f} ms",
+              file=sys.stderr)
+    tf = rows_fixed[0]["ms"]
+    for r in rows_fixed:
+        r["overhead_pct"] = round(100.0 * (r["ms"] - tf) / tf, 1)
+
     print(json.dumps({"metric": "dp_weak_scaling",
                       "backend": jax.default_backend(),
                       # virtual devices beyond the physical core count
-                      # share cores: the curve then measures sharded-path
-                      # overhead, not hardware speedup
+                      # share cores: the weak curve then measures core
+                      # oversubscription; the fixed-total curve isolates
+                      # sharded-path overhead
                       "host_cores": os.cpu_count(),
-                      "rows": rows}))
+                      "rows": rows,
+                      "fixed_total_rows": rows_fixed}))
 
 
 if __name__ == "__main__":
