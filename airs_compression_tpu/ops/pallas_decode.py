@@ -260,14 +260,13 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
     """
     import os as _os
 
-    B = words.shape[0]
     if sub is None:
-        # half-tile instantiation for small batches; AIRS_TPU_DECODE_SUB
-        # forces a value (the bench measures both — Mosaic pads 4-sublane
-        # vregs to 8, so whether the half tile is actually cheaper is an
-        # empirical hardware question, recorded in BASELINE.md)
-        sub = int(_os.environ.get("AIRS_TPU_DECODE_SUB", "0")) or \
-            (4 if B <= _TILE // 2 else _SUB)
+        # AIRS_TPU_DECODE_SUB forces the half-tile (sub=4) instantiation;
+        # default stays 8 — whether the half tile is actually cheaper is
+        # an empirical hardware question (Mosaic pads 4-sublane vregs to
+        # 8), measured by the bench's dual-tile B=512 stage and recorded
+        # in BASELINE.md
+        sub = int(_os.environ.get("AIRS_TPU_DECODE_SUB", "0")) or _SUB
     return _decode_blocks_pallas(cfg, words, model, n_samples, interpret,
                                  g_dyn, outlier_dyn, sub)
 

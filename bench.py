@@ -552,27 +552,34 @@ def stage_sp():
     # the encode program's output — no tunnel round-trip in the loop.
     sp_dec = None
     try:
+        from airs_compression_tpu.ops.encode import PassConfig
+
         chunk = 1024
         chunk_bits = stream_chunk_index(params, data, chunk_samples=chunk)
-        hb = cfg.hdr_bits
+        # chunk-decode config: entropy params from the frame, NO
+        # preprocessing (the inverse runs over the FULL stream after the
+        # lanes decode — same construction as decompress_long_stream)
+        dcfg = PassConfig(0, cfg.enc_type, cfg.g_par, cfg.outlier,
+                          False, 0, False, True)
+        hb = dcfg.hdr_bits
         # absolute payload bit offset of each chunk (header is byte-
         # aligned: hsz*8 == hdr_bits); window starts hdr_bits earlier so
         # the decoder's header skip lands on the first codeword
         off = hb + np.concatenate(([0], np.cumsum(chunk_bits)[:-1]))
         start = jnp.asarray(off - hb, jnp.int32)
         max_bits = min(int(chunk_bits.max()),
-                       chunk * cfg.worst_bits_per_sample)
+                       chunk * dcfg.worst_bits_per_sample)
         c_lane = (hb + max_bits + 63) // 32 + 2
         budget = min(max(remaining() - 240, 120), 900)
         log(f"compiling sidecar decode program (watchdog {budget:.0f}s, "
             f"{chunk_bits.size} lanes x {chunk})...")
         t0 = time.time()
         dec_samples, dec_end = with_alarm(budget, lambda: jax.block_until_ready(
-            _sidecar_decode_device(cfg, out_words, start, chunk, c_lane,
+            _sidecar_decode_device(dcfg, out_words, start, chunk, c_lane,
                                    cfg.prep, n)))
         log(f"sidecar decode compiled+ran in {time.time()-t0:.1f}s")
         per_d = _time_dispatch_retry(
-            lambda: _sidecar_decode_device(cfg, out_words, start, chunk,
+            lambda: _sidecar_decode_device(dcfg, out_words, start, chunk,
                                            c_lane, cfg.prep, n),
             "SP-decode")
         sp_dec = (per_d, dec_samples, dec_end)
@@ -1159,13 +1166,13 @@ def main():
     optional = [
         (stage_encode_csum, 420),
         (stage_decode, 300),
+        (stage_verify_configs, 360),
         (stage_wrapper_decode, 420),
         (stage_decode_multi, 420),
         (stage_flagship, 420),
         (stage_adaptive_encode, 420),
         (stage_decode_adaptive, 420),
         (stage_decode_b512, 420),
-        (stage_verify_configs, 360),
     ]
     if not sp_ok:
         # fallback: in-process, LAST — its dispatch will read degraded
