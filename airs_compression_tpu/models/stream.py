@@ -59,10 +59,15 @@ class BatchCompressor:
         self.adaptive = adaptive
         if adaptive:
             from ..ops.adapt import DEFAULT_LADDER
+            from ..ops.encode import adaptive_cap_bits
 
             self.ladder = tuple(ladder) if ladder else DEFAULT_LADDER
+            self._adaptive_cap = adaptive_cap_bits(
+                make_pass_config(params, False, cmp_type is CmpType.U16),
+                self.ladder)
         else:
             self.ladder = None
+            self._adaptive_cap = None
         unsigned = cmp_type is CmpType.U16
         self.primary_cfg = make_pass_config(params, False, unsigned)
         self.secondary_cfg = (make_pass_config(params, True, unsigned)
@@ -178,7 +183,17 @@ class BatchCompressor:
             if self.adaptive and cfg.enc_type in (1, 2):  # ZERO or MULTI
                 from ..ops.encode import encode_blocks_adaptive
 
-                w, s, fb, _g = encode_blocks_adaptive(
+                cap = self._adaptive_cap
+                if cap is not None:
+                    w, s, fb, _g, ok = encode_blocks_adaptive(
+                        cfg, self.fallback_cfg, x, self.model, seq_dev,
+                        id_hi, id_lo, checksum, self.n_words, self.ladder,
+                        cap_bits=cap)
+                    if bool(np.asarray(jnp.all(ok))):
+                        return w, s, fb
+                    # sticky, like the fixed-rate path below
+                    self._adaptive_cap = None
+                w, s, fb, _g, _ok = encode_blocks_adaptive(
                     cfg, self.fallback_cfg, x, self.model, seq_dev, id_hi,
                     id_lo, checksum, self.n_words, self.ladder)
                 return w, s, fb
@@ -251,16 +266,32 @@ class BatchCompressor:
 import dataclasses as _dataclasses
 
 
+@jax.jit
+def bswap32(w: jax.Array) -> jax.Array:
+    """Byte-swap uint32 words (one fused VPU pass on device)."""
+    w = w.astype(jnp.uint32)
+    return ((w << jnp.uint32(24))
+            | ((w & jnp.uint32(0xFF00)) << jnp.uint32(8))
+            | ((w >> jnp.uint32(8)) & jnp.uint32(0xFF00))
+            | (w >> jnp.uint32(24)))
+
+
 @_dataclasses.dataclass
 class StagedFrames:
     """Host-staged batch: parsed header columns + the padded word matrix.
 
     Produced by :meth:`BatchDecompressor.stage_frames`; everything here
     is validated numpy (no Python per-frame state), ready for one
-    ``jnp.asarray`` upload.
+    ``jnp.asarray`` upload.  ``words`` holds the frame bytes viewed as
+    native uint32 — on a little-endian host these are byte-swapped
+    relative to the stream's big-endian word values (``raw=True``) and
+    :meth:`BatchDecompressor.decode_staged` swaps them ON DEVICE (one
+    fused VPU pass; a host-side ``astype`` byteswap of the whole batch
+    was a measurable share of wrapper decode time).
     """
 
-    words: "np.ndarray"          # (B, n_words) uint32, BE word values
+    words: "np.ndarray"          # (B, n_words) uint32 (see ``raw``)
+    raw: bool                    # True: device must byte-swap
     n_words: int
     prep: "np.ndarray"           # (B,) int32
     enc: "np.ndarray"            # (B,) int32
@@ -434,11 +465,14 @@ class BatchDecompressor:
                   | (tb[:, 2] << 8) | tb[:, 3])
         stored = np.where(h.checksum_enabled != 0, stored, 0)
 
-        words = buf.reshape(B, n_words, 4).astype(np.uint32)
-        words = ((words[:, :, 0] << 24) | (words[:, :, 1] << 16)
-                 | (words[:, :, 2] << 8) | words[:, :, 3])
+        import sys as _sys
+
+        if _sys.byteorder == "little":
+            words, raw = buf.view(np.uint32), True
+        else:  # big-endian host: bytes already read as BE word values
+            words, raw = buf.view(np.uint32), False
         return StagedFrames(
-            words=words, n_words=n_words,
+            words=words, raw=raw, n_words=n_words,
             prep=h.preprocessing, enc=h.encoder_type,
             cs=h.checksum_enabled, seq=h.sequence_number,
             g=h.encoder_param, outlier=h.encoder_outlier,
@@ -451,8 +485,9 @@ class BatchDecompressor:
         """Run the device decode passes for a staged batch.
 
         ``words_dev`` lets a caller reuse an already-uploaded word matrix
-        (or keep one device-resident across calls); everything returned
-        stays on device — no host sync happens here.
+        (``st.words`` verbatim — the byte swap, when pending, happens
+        here on device); everything returned stays on device — no host
+        sync happens here.
         """
         from ..ops.decode import (
             decode_blocks_device,
@@ -461,6 +496,8 @@ class BatchDecompressor:
 
         if words_dev is None:
             words_dev = jnp.asarray(st.words)
+        if st.raw:
+            words_dev = bswap32(words_dev)
 
         # header-driven dispatch: one device pass per method group present
         key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)

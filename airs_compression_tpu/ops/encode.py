@@ -450,12 +450,14 @@ def model_update_step(x: jax.Array, model: jax.Array, seq: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fallback_cfg",
-                                              "n_words", "ladder"))
+                                              "n_words", "ladder",
+                                              "cap_bits"))
 def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
                            model: jax.Array, seq: jax.Array,
                            id_hi: jax.Array, id_lo: jax.Array,
                            checksum: jax.Array, n_words: int,
-                           ladder: "tuple[int, ...]"):
+                           ladder: "tuple[int, ...]",
+                           cap_bits: "int | None" = None):
     """Adaptive-rate engine pass: per-block Golomb parameter selection.
 
     Like encode_blocks_device but the Golomb parameter (ZERO or MULTI) is
@@ -466,7 +468,10 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
     uncompressed fallback composes exactly as in the fixed-rate engine
     (probe criterion cmp.c:362-372, reduced to a size comparison).
 
-    Returns (words, sizes, fell_back (B,) bool, g_selected (B,) int32).
+    Returns (words, sizes, fell_back (B,) bool, g_selected (B,) int32,
+    ok (B,) bool).  ``cap_bits`` entropy-clamps the Pallas pack exactly
+    as in the fixed-rate engine (ok=False blocks must re-encode at full
+    capacity); without it ok is all-True.
     """
     from . import adapt
 
@@ -493,9 +498,9 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
             residuals, g_sel, outlier_sel)
         outlier_dyn = outlier_sel.astype(_U32)
     worst_bits = adaptive_worst_bits(cfg, ladder)
-    words, sizes, _ok = _finish_frames(
+    words, sizes, ok = _finish_frames(
         cfg, hi, lo, lens, seq, id_hi, id_lo, checksum, n_words, worst_bits,
-        enc_param_dyn=g_sel, outlier_dyn=outlier_dyn)
+        enc_param_dyn=g_sel, outlier_dyn=outlier_dyn, cap_bits=cap_bits)
     if fallback_cfg is not None:
         unc_size = 16 + 2 * N + (4 if cfg.checksum else 0)
         fell_back = sizes > unc_size
@@ -514,9 +519,11 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
             jnp.any(fell_back), _mk_fb, _mk_none, (x, model, seq))
         words = jnp.where(fell_back[:, None], fb_words, words)
         sizes = jnp.where(fell_back, fb_sizes, sizes)
+        # a fallback frame always fits n_words (16-bit fixed codes)
+        ok = ok | fell_back
     else:
         fell_back = jnp.zeros((B,), bool)
-    return words, sizes, fell_back, g_sel.astype(jnp.int32)
+    return words, sizes, fell_back, g_sel.astype(jnp.int32), ok
 
 
 def adaptive_worst_bits(cfg: PassConfig, ladder: "tuple[int, ...]") -> int:
@@ -524,6 +531,21 @@ def adaptive_worst_bits(cfg: PassConfig, ladder: "tuple[int, ...]") -> int:
     if cfg.enc_type == int(EncoderType.GOLOMB_MULTI):
         return 48  # 32-bit escape codeword + 16 raw bits
     return int(max(ladder)).bit_length() - 1 + 17
+
+
+def adaptive_cap_bits(cfg: PassConfig,
+                      ladder: "tuple[int, ...]") -> "int | None":
+    """Entropy clamp for the adaptive tier (same policy as
+    default_cap_bits: half the common-class worst, floor 8; MULTI
+    derives from the ladder's Golomb class, its 48-bit escapes take the
+    narrow re-encode path)."""
+    mode = os.environ.get("AIRS_TPU_PACK_CAP", "auto")
+    if mode == "off":
+        return None
+    if mode not in ("", "auto"):
+        return int(mode)
+    zero_like = int(max(ladder)).bit_length() - 1 + 17
+    return max(8, zero_like // 2 - 1)
 
 
 def adaptive_worst_case_words(cfg: PassConfig, n: int,

@@ -155,7 +155,7 @@ def _sp_row_split(K: int) -> int:
     return R
 
 
-def _pack_shard_stream(hi, lo, lens, worst_bits: int):
+def _pack_shard_stream(hi, lo, lens, worst_bits: int, cap_bits=None):
     """Pack one shard's (K,) codes into a left-justified word stream.
 
     TPU fast path: split the shard into lane-tile rows of ~8192 codes,
@@ -164,8 +164,12 @@ def _pack_shard_stream(hi, lo, lens, worst_bits: int):
     profiling showed is the difference between ~100%-of-encode-time XLA
     packing and speed-of-light), then stitch the row streams with
     log2(R) funnel-shift merge levels (bitpack.merge_streams_tree).
+    ``cap_bits`` entropy-clamps the row buffers exactly as in the batch
+    path — the clamp shrinks BOTH the pack tree and every merge level
+    (the dominant costs of the long-stream encode; round-4 profile).
     Falls back to the XLA tree for shapes the kernel does not support
-    (or on CPU).
+    (or on CPU).  Returns (words, ok) — ok is False when any clamped
+    row overflowed (the caller re-encodes at full capacity).
     """
     import os
 
@@ -180,16 +184,24 @@ def _pack_shard_stream(hi, lo, lens, worst_bits: int):
 
         if pallas_pack_supported(R, K // R, worst_bits):
             rows = lambda v: v.reshape(R, K // R)
-            w_rows, bits_rows = pack_codes_tree_pallas(
-                rows(hi), rows(lo), rows(lens), worst_bits,
-                interpret=interpret)
+            if cap_bits is not None:
+                w_rows, bits_rows, ok_rows = pack_codes_tree_pallas(
+                    rows(hi), rows(lo), rows(lens), worst_bits,
+                    cap_bits=cap_bits, narrow=worst_bits > 32,
+                    interpret=interpret)
+                ok = jnp.all(ok_rows)
+            else:
+                w_rows, bits_rows = pack_codes_tree_pallas(
+                    rows(hi), rows(lo), rows(lens), worst_bits,
+                    interpret=interpret)
+                ok = jnp.bool_(True)
             words, _ = bitpack.merge_streams_tree(w_rows, bits_rows)
-            return words
+            return words, ok
     words, _ = bitpack.pack_codes_tree(hi, lo, lens, worst_bits)
-    return words
+    return words, jnp.bool_(True)
 
 
-def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
+def _shard_encode(x_loc, model_loc, cfg, axis, D, n, cap_bits=None):
     """Per-shard: residuals -> codewords -> local pack -> global shift."""
     d = jax.lax.axis_index(axis)
     res = _shard_residuals(cfg, x_loc, model_loc, axis, D, n)
@@ -208,7 +220,9 @@ def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
     offset = cfg.hdr_bits + before  # absolute payload bit offset
     total_payload_bits = jnp.sum(all_bits)
 
-    words = _pack_shard_stream(hi, lo, lens, cfg.worst_bits_per_sample)
+    words, pack_ok = _pack_shard_stream(hi, lo, lens,
+                                        cfg.worst_bits_per_sample,
+                                        cap_bits=cap_bits)
     # shift local stream right by r = offset % 32 onto the global word grid
     r = (offset % 32).astype(jnp.uint32)
     wprev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), words[:-1]])
@@ -221,10 +235,11 @@ def _shard_encode(x_loc, model_loc, cfg, axis, D, n):
                      words[-1] << jnp.where(r == 0, jnp.uint32(0),
                                             jnp.uint32(32) - r))
     out_words = jnp.concatenate([shifted, tail[None]])
-    return out_words, offset // 32, local_bits, total_payload_bits
+    return out_words, offset // 32, local_bits, total_payload_bits, pack_ok
 
 
-def _sharded_encode_core(mesh: Mesh, cfg, n: int, needs_model: bool):
+def _sharded_encode_core(mesh: Mesh, cfg, n: int, needs_model: bool,
+                         cap_bits=None):
     """shard_map-wrapped per-shard encode (shared by both programs)."""
     (axis,) = mesh.axis_names
     D = mesh.devices.size
@@ -233,26 +248,30 @@ def _sharded_encode_core(mesh: Mesh, cfg, n: int, needs_model: bool):
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=specs,
-        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis)),
         # pallas_call emits ShapeDtypeStructs without varying-mesh-axis
         # annotations; skip the vma check (shardings are fully explicit
         # here and byte-identity is asserted by tests)
         check_vma=False)
     def run(x_sh, model_sh=None):
-        w, w0, lbits, tbits = _shard_encode(x_sh, model_sh, cfg, axis, D, n)
-        return w[None], w0[None], lbits[None], tbits[None]
+        w, w0, lbits, tbits, ok = _shard_encode(x_sh, model_sh, cfg, axis,
+                                                D, n, cap_bits=cap_bits)
+        return w[None], w0[None], lbits[None], tbits[None], ok[None]
 
     return run
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool):
+def _sharded_encode_program(mesh: Mesh, cfg, n: int, needs_model: bool,
+                            cap_bits=None):
     """Build (and cache) the jitted shard_map encode program."""
-    return jax.jit(_sharded_encode_core(mesh, cfg, n, needs_model))
+    return jax.jit(_sharded_encode_core(mesh, cfg, n, needs_model,
+                                        cap_bits))
 
 
 @functools.lru_cache(maxsize=64)
-def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool):
+def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool,
+                      cap_bits=None):
     """Jitted program producing the COMPLETE frame word stream on device.
 
     Round-3 verdict Weak #3: the measured SP number used to time only the
@@ -265,22 +284,25 @@ def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool):
     frame are the size fetch and the byte slice.
 
     Returns ``run(x, id_hi, id_lo, seq[, model]) -> (words, size_bytes,
-    payload_bits)`` with ``words`` a worst-case-capacity u32 stream whose
-    first ``ceil(size_bytes/4)`` words are the frame (trailing checksum
-    bytes NOT included — XXH32 of one stream is bit-serial, the host
-    splices it for cs=1 configs).
+    payload_bits, ok)`` with ``words`` a worst-case-capacity u32 stream
+    whose first ``ceil(size_bytes/4)`` words are the frame (trailing
+    checksum bytes NOT included — XXH32 of one stream is bit-serial, the
+    host splices it for cs=1 configs).  With ``cap_bits`` set, ok=False
+    means an entropy-clamped row overflowed and the frame words are
+    invalid — re-encode with the full-capacity program (sizes stay
+    exact either way).
     """
     from ..ops.encode import _header_words, worst_case_words
 
-    core = _sharded_encode_core(mesh, cfg, n, needs_model)
+    core = _sharded_encode_core(mesh, cfg, n, needs_model, cap_bits)
     W_cap = worst_case_words(cfg, n)
 
     @jax.jit
     def run(x, id_hi, id_lo, seq, model=None):
         if needs_model:
-            words, starts, _lbits, tbits = core(x, model)
+            words, starts, _lbits, tbits, ok = core(x, model)
         else:
-            words, starts, _lbits, tbits = core(x)
+            words, starts, _lbits, tbits, ok = core(x)
         payload_bits = tbits[0]
         bits = cfg.hdr_bits + payload_bits
         if cfg.checksum:
@@ -290,9 +312,22 @@ def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool):
         size = (total + 7) >> 3
 
         D_, Wl = words.shape
-        idx = (starts[:, None] + jnp.arange(Wl, dtype=starts.dtype)).reshape(-1)
-        out = jnp.zeros((W_cap,), jnp.uint32).at[idx].add(
-            words.reshape(-1), mode="drop")
+        # span merge: D contiguous spans at word offsets starts[d];
+        # adjacent spans overlap in exactly one boundary word with
+        # disjoint bits.  A fori of dynamic slice + OR + dynamic update
+        # keeps every step a bulk contiguous copy (a flat scatter-add
+        # over the same indices lowers to a scalarized scatter on TPU —
+        # measured 40x slower for a 2^21-sample stream).
+        pad = jnp.zeros((Wl,), jnp.uint32)
+
+        def merge(d, acc):
+            seg = jax.lax.dynamic_slice(acc, (starts[d],), (Wl,))
+            return jax.lax.dynamic_update_slice(
+                acc, seg | words[d], (starts[d],))
+
+        out = jax.lax.fori_loop(
+            0, D_, merge, jnp.concatenate([jnp.zeros((W_cap,), jnp.uint32),
+                                           pad]))[:W_cap]
         hdr = _header_words(cfg, size.astype(jnp.uint32), 2 * n,
                             jnp.asarray(id_hi, jnp.uint32),
                             jnp.asarray(id_lo, jnp.uint32),
@@ -301,7 +336,7 @@ def _sp_frame_program(mesh: Mesh, cfg, n: int, needs_model: bool):
         # case) header word shares its low bits with the payload start —
         # disjoint bit ranges, so add == or
         out = out.at[: len(hdr)].add(jnp.stack(hdr))
-        return out, size, payload_bits
+        return out, size, payload_bits, jnp.all(ok)
 
     return run
 
@@ -341,15 +376,26 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
         raise CmpError(CmpErrorCode.PARAMS_INVALID,
                        "MODEL preprocessing requires model state")
 
+    from ..ops.encode import default_cap_bits
+
     x = jnp.asarray(x_np.view(np.int16), jnp.int32)
-    run = _sp_frame_program(mesh, cfg, n, needs_model)
     id_hi = (identifier >> 24) & 0xFFFFFF
     id_lo = identifier & 0xFFFFFF
-    if needs_model:
-        m = jnp.asarray(np.asarray(model, np.int16), jnp.int32)
-        out_words, size_dev, _pb = run(x, id_hi, id_lo, sequence_number, m)
-    else:
-        out_words, size_dev, _pb = run(x, id_hi, id_lo, sequence_number)
+    m = (jnp.asarray(np.asarray(model, np.int16), jnp.int32)
+         if needs_model else None)
+    # entropy-clamped first (the clamp shrinks the pack tree and every
+    # row-merge level); a clamp overflow re-encodes at full capacity —
+    # same transparent fallback as the batch path
+    for cap in (default_cap_bits(cfg), None):
+        run = _sp_frame_program(mesh, cfg, n, needs_model, cap)
+        if needs_model:
+            out_words, size_dev, _pb, ok = run(x, id_hi, id_lo,
+                                               sequence_number, m)
+        else:
+            out_words, size_dev, _pb, ok = run(x, id_hi, id_lo,
+                                               sequence_number)
+        if cap is None or bool(np.asarray(ok)):
+            break
 
     # the device program produced the complete frame (header included);
     # host work is the size fetch + byte slice (+ checksum splice: XXH32
@@ -380,6 +426,18 @@ def compress_long_stream(mesh: Mesh, params: CmpParams, samples_u16,
 # position must land exactly on its chunk boundary.
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+def _chunk_bits_device(cfg, x, chunk: int, model=None):
+    """Device core of the sidecar build: per-chunk payload bit sums."""
+    from ..ops.preprocess import preprocess_forward
+
+    res = preprocess_forward(cfg.prep, x, model)[0]
+    _, _, lens = golomb.encode_codewords(res, cfg.enc_type, cfg.g_par,
+                                         cfg.outlier)
+    # int32 is ample: a chunk's bits <= chunk * 48 < 2^31
+    return jnp.sum(lens.reshape(-1, chunk), axis=-1).astype(jnp.int32)
+
+
 def stream_chunk_index(params: CmpParams, samples_u16,
                        chunk_samples: int = 1024, secondary: bool = False,
                        model=None) -> np.ndarray:
@@ -394,8 +452,6 @@ def stream_chunk_index(params: CmpParams, samples_u16,
     and its compile cache — untouched, and also lets a sidecar be built
     for a stream whose frame came from anywhere (e.g. the host codec).
     """
-    from ..ops.preprocess import preprocess_forward
-
     cfg = make_pass_config(params, secondary, True)
     if cfg.enc_type not in (1, 2):
         raise CmpError(CmpErrorCode.PARAMS_INVALID,
@@ -412,11 +468,7 @@ def stream_chunk_index(params: CmpParams, samples_u16,
     x = jnp.asarray(x_np.view(np.int16), jnp.int32)[None]
     m = (jnp.asarray(np.asarray(model, np.int16), jnp.int32)[None]
          if model is not None else None)
-    res = preprocess_forward(cfg.prep, x, m)[0]
-    _, _, lens = golomb.encode_codewords(res, cfg.enc_type, cfg.g_par,
-                                         cfg.outlier)
-    return np.asarray(
-        jnp.sum(lens.reshape(-1, chunk_samples), axis=-1)).astype(np.int64)
+    return np.asarray(_chunk_bits_device(cfg, x, chunk_samples, m))
 
 
 @functools.partial(jax.jit, static_argnames=("dcfg", "chunk", "c_lane",
@@ -434,8 +486,30 @@ def _sidecar_decode_device(dcfg, words, start, chunk: int, c_lane: int,
     n_chunks = start.shape[0]
     base = start >> 5
     r = (start & 31).astype(jnp.uint32)[:, None]
-    idx = base[:, None] + jnp.arange(c_lane, dtype=jnp.int32)[None, :]
-    win = jnp.where(idx < W, words[jnp.clip(idx, 0, W - 1)], jnp.uint32(0))
+    # Window build as a ROW-granular gather: the stream reshaped into
+    # 128-word rows, each chunk takes its aligned row run (an
+    # embedding-style whole-row gather TPU lowers to bulk copies), then
+    # a 7-level word barrel shift aligns the window.  Element-index
+    # gathers and vmapped dynamic_slice both scalarize INSIDE
+    # lax.while/fori loops (measured 2.4 ms/iter vs 0.12 ms/iter for a
+    # 2^21-sample stream — the bench times this under a fori loop, and
+    # pipelined callers will too).  Zero row padding gives zero-fill
+    # past the stream end.
+    row = 128
+    n_rows = (c_lane + row - 1) // row + 1
+    pad = (-W) % row + (n_rows + 1) * row
+    tbl = jnp.concatenate(
+        [words, jnp.zeros((pad,), jnp.uint32)]).reshape(-1, row)
+    ridx = (base >> 7)[:, None] + jnp.arange(n_rows, dtype=jnp.int32)
+    ext = jnp.take(tbl, ridx.reshape(-1), axis=0).reshape(
+        n_chunks, n_rows * row)
+    woff = base & (row - 1)
+    for t in range(7):  # word-align: shift left by (base mod 128) words
+        s = 1 << t
+        sh = jnp.concatenate(
+            [ext[:, s:], jnp.zeros((n_chunks, s), jnp.uint32)], axis=1)
+        ext = jnp.where((((woff >> t) & 1) == 1)[:, None], sh, ext)
+    win = ext[:, :c_lane]
     nxt = jnp.concatenate(
         [win[:, 1:], jnp.zeros((n_chunks, 1), jnp.uint32)], axis=-1)
     win = jnp.where(r == 0, win,
@@ -443,7 +517,16 @@ def _sidecar_decode_device(dcfg, words, start, chunk: int, c_lane: int,
                                   >> (jnp.uint32(31) - r)))
     residuals, end = decode_blocks_device(
         dcfg, win, jnp.zeros((n_chunks, chunk), jnp.int32), chunk)
-    samples = preprocess_inverse(prep, residuals.reshape(1, n), model)
+    if prep == int(Preprocessing.DIFF):
+        # blocked wraparound cumsum: per-chunk cumsums (lane-parallel)
+        # plus exclusive chunk offsets — exact because mod-2^16 addition
+        # is associative, and far faster than one 2^21-element cumsum
+        within = jnp.cumsum(residuals, axis=-1, dtype=jnp.int32)
+        rows = within[:, -1]
+        offs = jnp.cumsum(rows, dtype=jnp.int32) - rows
+        samples = wrap16(within + offs[:, None]).reshape(1, n)
+    else:
+        samples = preprocess_inverse(prep, residuals.reshape(1, n), model)
     return samples[0], end
 
 

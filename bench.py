@@ -468,27 +468,6 @@ def stage_flagship():
     RESULT["flagship_encode_gbps"] = round(gbps, 3)
 
 
-def _time_dispatch_retry(run_fn, tag, tries=4, reps=5):
-    """Median wall of ``run_fn`` with retries when the axon tunnel drops
-    into its ~24 ms synchronous-dispatch mode (a channel artifact, not a
-    program property — isolated runs measure the true time)."""
-    per = None
-    for _ in range(tries):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            jax.block_until_ready(run_fn())
-            ts.append(time.time() - t0)
-        med = sorted(ts)[len(ts) // 2]
-        per = med if per is None else min(per, med)
-        if med < 5e-3 or remaining() < 180:
-            break
-        log(f"{tag} dispatch degraded ({med*1e3:.1f} ms); pausing and "
-            "retrying")
-        time.sleep(15)
-    return per
-
-
 def stage_sp():
     """Long-stream (context-parallel) path on real hardware: one 2^21-
     sample block through parallel/sp.py on a 1-device mesh — encode AND
@@ -502,12 +481,12 @@ def stage_sp():
     all_gather cost is inside the number — recorded in the artifact as
     sp_mesh_devices.
 
-    Measurement order matters on this box: the FIRST host fetch of any
-    NamedSharding (shard_map) output permanently flips the axon tunnel
-    runtime from async enqueue into ~24 ms/dispatch synchronous mode for
-    already-compiled executables (plain jit programs degrade too).  So
-    BOTH device programs are timed before any gate fetches run, and the
-    numbers are posted only if the gates then pass.
+    Timing discipline (round-4 finding): in the tunnel's async regime
+    ``block_until_ready`` returns at ENQUEUE, not completion — absolute
+    single-dispatch walls flatter arbitrarily (they once read 145 GB/s
+    here).  So this stage deliberately flips the runtime into its
+    synchronous mode first and then measures ONLY trip-count-differenced
+    fori loops, like every other stage.
     """
     from jax.sharding import Mesh
 
@@ -536,14 +515,49 @@ def stage_sp():
     budget = min(max(remaining() - 240, 120), 900)
     log(f"compiling SP whole-frame program (watchdog {budget:.0f}s)...")
     t0 = time.time()
-    run = _sp_frame_program(mesh, cfg, n, False)
+    from airs_compression_tpu.ops.encode import default_cap_bits as _dcb
+
+    run = _sp_frame_program(mesh, cfg, n, False, _dcb(cfg))
     x_dev = jnp.asarray(data.view(np.int16), jnp.int32)
-    out_words, size_dev, _ = with_alarm(
+    out_words, size_dev, _, sp_ok = with_alarm(
         budget, lambda: jax.block_until_ready(run(x_dev, 0, 0, 0)))
     log(f"SP whole-frame program compiled+ran in {time.time()-t0:.1f}s")
+    if not bool(np.asarray(sp_ok)):
+        log("SP entropy clamp overflowed; re-building at full capacity")
+        run = _sp_frame_program(mesh, cfg, n, False, None)
+        out_words, size_dev, _, sp_ok = with_alarm(
+            min(max(remaining() - 240, 120), 900),
+            lambda: jax.block_until_ready(run(x_dev, 0, 0, 0)))
 
-    # time encode first (no fetches yet; see docstring)
-    per = _time_dispatch_retry(lambda: run(x_dev, 0, 0, 0), "SP")
+    # Timing discipline: in this tunnel's async regime block_until_ready
+    # returns at ENQUEUE, not completion (verified: a 65-trip loop
+    # "finishes" as fast as 1 trip while the device is busy ~50 ms), so
+    # absolute wall times of single dispatches are meaningless.  Flip the
+    # runtime into its synchronous mode with one tiny fetch, then trust
+    # ONLY trip-count differencing (floor + N*per_iter - floor - per_iter).
+    np.asarray(size_dev)  # deliberate mode flip
+
+    @jax.jit
+    def enc_loop(x, n_iter):
+        def body(i, carry):
+            acc = carry[0]
+            x2 = x ^ (acc & jnp.int32(1))
+            words, size, _pb, okb = run(x2, 0, 0, 0)
+            return (acc + size.astype(jnp.int32)
+                    + jnp.sum(words, dtype=jnp.uint32).astype(jnp.int32)
+                    + okb.astype(jnp.int32) + jnp.int32(1), words, size)
+
+        init = (jnp.int32(0), jnp.zeros_like(out_words), jnp.int32(0))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    budget = min(max(remaining() - 240, 120), 900)
+    log(f"compiling SP encode loop (watchdog {budget:.0f}s)...")
+    t0 = time.time()
+    with_alarm(budget,
+               lambda: jax.block_until_ready(enc_loop(x_dev, 1)[0]))
+    log(f"SP encode loop compiled+ran in {time.time()-t0:.1f}s")
+    per = with_alarm(min(remaining(), 240),
+                     measure_loop, enc_loop, x_dev, 1, 33, 3)
     gbps = 2 * n / per / 1e9
 
     # --- sidecar chunk-parallel decode of the same frame (round-3
@@ -553,36 +567,91 @@ def stage_sp():
     sp_dec = None
     try:
         from airs_compression_tpu.ops.encode import PassConfig
+        from airs_compression_tpu.parallel.sp import _chunk_bits_device
 
         chunk = 1024
-        chunk_bits = stream_chunk_index(params, data, chunk_samples=chunk)
+        n_chunks = n // chunk
         # chunk-decode config: entropy params from the frame, NO
         # preprocessing (the inverse runs over the FULL stream after the
         # lanes decode — same construction as decompress_long_stream)
         dcfg = PassConfig(0, cfg.enc_type, cfg.g_par, cfg.outlier,
                           False, 0, False, True)
         hb = dcfg.hdr_bits
-        # absolute payload bit offset of each chunk (header is byte-
-        # aligned: hsz*8 == hdr_bits); window starts hdr_bits earlier so
-        # the decoder's header skip lands on the first codeword
-        off = hb + np.concatenate(([0], np.cumsum(chunk_bits)[:-1]))
-        start = jnp.asarray(off - hb, jnp.int32)
-        max_bits = min(int(chunk_bits.max()),
-                       chunk * dcfg.worst_bits_per_sample)
-        c_lane = (hb + max_bits + 63) // 32 + 2
+        # worst-case window (static; the wrapper's exact-sized window
+        # needs a host fetch of max(chunk_bits), which would flip the
+        # tunnel into its ~25 ms synchronous-dispatch mode and poison
+        # every timing after it)
+        c_lane = (hb + chunk * dcfg.worst_bits_per_sample + 63) // 32 + 2
+
+        @jax.jit
+        def sidecar_loop(words_frame, x_in, n_iter):
+            # sidecar build ON DEVICE (exclusive cumsum of per-chunk bit
+            # sums), then the window + lockstep decode; trip-count
+            # differencing cancels the dispatch floor like every other
+            # timed stage
+            bits = _chunk_bits_device(cfg, x_in[None], chunk)
+            start = (jnp.cumsum(bits) - bits).astype(jnp.int32)
+
+            def body(i, carry):
+                acc, s_prev, e_prev = carry
+                w2 = words_frame ^ (acc & jnp.uint32(1))
+                s, e = _sidecar_decode_device(dcfg, w2, start, chunk,
+                                              c_lane, cfg.prep, n)
+                # acc ACCUMULATES (+1) so no iteration ever repeats a
+                # prior carry bit-for-bit: a fixpoint carry lets the
+                # compiled loop skip work (observed: 65 trips timed as 1)
+                return (acc + jnp.sum(e).astype(jnp.uint32)
+                        + jnp.uint32(1), s, e)
+
+            init = (jnp.uint32(0), jnp.zeros((n,), jnp.int32),
+                    jnp.zeros((n_chunks,), jnp.int32))
+            return jax.lax.fori_loop(0, n_iter, body, init), bits
+
         budget = min(max(remaining() - 240, 120), 900)
-        log(f"compiling sidecar decode program (watchdog {budget:.0f}s, "
-            f"{chunk_bits.size} lanes x {chunk})...")
+        log(f"compiling sidecar decode loop (watchdog {budget:.0f}s, "
+            f"{n_chunks} lanes x {chunk})...")
         t0 = time.time()
-        dec_samples, dec_end = with_alarm(budget, lambda: jax.block_until_ready(
-            _sidecar_decode_device(dcfg, out_words, start, chunk, c_lane,
-                                   cfg.prep, n)))
-        log(f"sidecar decode compiled+ran in {time.time()-t0:.1f}s")
-        per_d = _time_dispatch_retry(
-            lambda: _sidecar_decode_device(dcfg, out_words, start, chunk,
-                                           c_lane, cfg.prep, n),
-            "SP-decode")
-        sp_dec = (per_d, dec_samples, dec_end)
+        (_, dec_samples, dec_end), bits_dev = with_alarm(
+            budget,
+            lambda: jax.block_until_ready(sidecar_loop(out_words, x_dev, 1)))
+        log(f"sidecar decode loop compiled+ran in {time.time()-t0:.1f}s")
+        # timing: same two-trip-count differencing as the kernel stages
+        samples = []
+        for _ in range(3):
+            # fetch (not block_until_ready): a fetch cannot return before
+            # the data exists, so it is honest in BOTH dispatch regimes
+            t_lo = time.time()
+            np.asarray(sidecar_loop(out_words, x_dev, 1)[0][0])
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            np.asarray(sidecar_loop(out_words, x_dev, 65)[0][0])
+            t_hi = time.time() - t_hi
+            samples.append(max((t_hi - t_lo) / 64, 1e-9))
+            log(f"  sp-decode lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+                f"{samples[-1]*1e3:.3f} ms/iter")
+        per_d = sorted(samples)[1]
+        sp_dec = (per_d, dec_samples, dec_end, bits_dev)
+
+        # sidecar BUILD cost (the codeword-length pass), same methodology
+        @jax.jit
+        def build_loop(x_in, n_iter):
+            def body(i, acc):
+                b = _chunk_bits_device(
+                    cfg, (x_in ^ (acc & jnp.int32(1)))[None], chunk)
+                return acc + jnp.sum(b).astype(jnp.int32) + jnp.int32(1)
+
+            return jax.lax.fori_loop(0, n_iter, body, jnp.int32(0))
+
+        np.asarray(build_loop(x_dev, 1))
+        t_lo = time.time()
+        np.asarray(build_loop(x_dev, 1))
+        t_lo = time.time() - t_lo
+        t_hi = time.time()
+        np.asarray(build_loop(x_dev, 129))
+        t_hi = time.time() - t_hi
+        RESULT["sp_sidecar_build_ms"] = round(
+            max((t_hi - t_lo) / 128, 1e-9) * 1e3, 3)
+        log(f"sidecar build: {RESULT['sp_sidecar_build_ms']} ms")
     except (_Timeout, Exception) as e:
         log(f"sidecar decode stage failed: {type(e).__name__} {e}")
 
@@ -599,12 +668,15 @@ def stage_sp():
     log("correctness gate: SP whole-frame bytes identical to host codec")
     log(f"SP whole-frame encode n=2^21: {per*1e3:.1f} ms -> {gbps:.2f} GB/s")
     RESULT["sp_encode_gbps"] = round(gbps, 3)
-    if per >= 5e-3:
-        RESULT["sp_dispatch_degraded"] = True  # channel, not program
 
     if sp_dec is not None:
-        per_d, dec_samples, dec_end = sp_dec
-        ok = np.array_equal(
+        per_d, dec_samples, dec_end, bits_dev = sp_dec
+        chunk_bits = np.asarray(bits_dev, np.int64)
+        # cross-check the device-built sidecar against the wrapper's
+        chunk_bits_ref = stream_chunk_index(params, data,
+                                            chunk_samples=chunk)
+        ok = np.array_equal(chunk_bits, chunk_bits_ref)
+        ok = ok and np.array_equal(
             np.asarray(dec_samples).astype(np.int32).astype(np.uint16),
             data)
         ok = ok and np.array_equal(np.asarray(dec_end, np.int64),
@@ -616,17 +688,10 @@ def stage_sp():
         if ok:
             g_d = 2 * n / per_d / 1e9
             log("correctness gate: sidecar decode round-trips (device + "
-                "wrapper)")
-            log(f"SP sidecar decode n=2^21: {per_d*1e3:.1f} ms -> "
+                "wrapper), device-built sidecar matches")
+            log(f"SP sidecar decode n=2^21: {per_d*1e3:.2f} ms -> "
                 f"{g_d:.2f} GB/s")
             RESULT["sp_decode_gbps"] = round(g_d, 3)
-            # sidecar build cost (one codeword-length device pass)
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                stream_chunk_index(params, data, chunk_samples=chunk)
-                ts.append(time.time() - t0)
-            RESULT["sp_sidecar_build_ms"] = round(sorted(ts)[1] * 1e3, 1)
         else:
             log("CORRECTNESS FAILURE: sidecar decode mismatch")
 
@@ -828,7 +893,7 @@ def stage_wrapper_decode():
     """
     import dataclasses
 
-    from airs_compression_tpu.models.stream import BatchDecompressor
+    from airs_compression_tpu.models.stream import BatchDecompressor, bswap32
     from airs_compression_tpu.ops.pallas_decode import decode_blocks_pallas
     from airs_compression_tpu.ops.xxh32_device import checksum_blocks_device
 
@@ -858,8 +923,9 @@ def stage_wrapper_decode():
         ts.append(time.time() - t0)
     t_stage = sorted(ts)[len(ts) // 2]
 
-    # device phase: the decode_staged graph (decode + checksum) in one
-    # dynamic-trip-count loop (same methodology as the kernel stages)
+    # device phase: the decode_staged graph (byte swap of the raw-staged
+    # words + decode + checksum) in one dynamic-trip-count loop (same
+    # methodology as the kernel stages)
     words = jnp.asarray(st.words)
     xj = jnp.asarray(x_ref)
 
@@ -867,7 +933,8 @@ def stage_wrapper_decode():
     def loop(w, n_iter):
         def body(i, carry):
             acc, _, _, _ = carry
-            w2 = w ^ (acc[:, None] & jnp.uint32(1))
+            wr = bswap32(w) if st.raw else w
+            w2 = wr ^ (acc[:, None] & jnp.uint32(1))
             s, e = decode_blocks_pallas(cfg, w2, xj, N)
             c = checksum_blocks_device(s)
             acc2 = (jnp.sum(s.astype(jnp.uint32), axis=-1)
@@ -909,6 +976,7 @@ def stage_adaptive_encode():
     from airs_compression_tpu.engine.host import decode_block
     from airs_compression_tpu.ops.adapt import DEFAULT_LADDER
     from airs_compression_tpu.ops.encode import (
+        adaptive_cap_bits,
         adaptive_worst_case_words,
         encode_blocks_adaptive,
     )
@@ -918,6 +986,7 @@ def stage_adaptive_encode():
     cfg = make_pass_config(params, False, True)
     ladder = DEFAULT_LADDER
     n_words = adaptive_worst_case_words(cfg, N, ladder)
+    cap = adaptive_cap_bits(cfg, ladder)
     rng = np.random.default_rng(10)
     # widening noise across the batch so the ladder really varies
     sig = np.empty((B, N), np.uint16)
@@ -934,26 +1003,31 @@ def stage_adaptive_encode():
         def body(i, carry):
             acc = carry[0]
             x2 = x ^ (acc[:, None] & jnp.int32(1))
-            w, s, fb, g = encode_blocks_adaptive(
-                cfg, None, x2, x2, seq, ids, ids, csum, n_words, ladder)
+            w, s, fb, g, ok = encode_blocks_adaptive(
+                cfg, None, x2, x2, seq, ids, ids, csum, n_words, ladder,
+                cap_bits=cap)
             g = g.astype(jnp.int32)
             acc2 = (jnp.sum(w, axis=-1, dtype=jnp.uint32)
-                    .astype(jnp.int32) + s + g)
-            return (acc2, w, s, g)
+                    .astype(jnp.int32) + s + g + ok.astype(jnp.int32))
+            return (acc2, w, s, g, ok)
 
         init = (jnp.zeros((B,), jnp.int32),
                 jnp.zeros((B, n_words), jnp.uint32),
                 jnp.zeros((B,), jnp.int32),
-                jnp.zeros((B,), jnp.int32))
+                jnp.zeros((B,), jnp.int32),
+                jnp.ones((B,), bool))
         return jax.lax.fori_loop(0, n_iter, body, init)
 
     budget = min(max(remaining() - 240, 120), 900)
     log(f"compiling adaptive encode loop (watchdog {budget:.0f}s)...")
     t0 = time.time()
-    _, words, sizes, gs = with_alarm(
+    _, words, sizes, gs, pack_ok = with_alarm(
         budget, lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
     log(f"adaptive encode loop compiled+ran in {time.time()-t0:.1f}s "
         f"(distinct g: {sorted(set(gs.tolist()))})")
+    if not pack_ok.all():
+        log("adaptive: entropy clamp overflowed; skipping timed point")
+        return
 
     # gate: frames decode back to the source via the host oracle
     for i in (0, B // 2, B - 1):
@@ -1046,7 +1120,10 @@ def collect_cpu_stages(handles):
                 RESULT["dp_scaling"] = {
                     "backend": parsed.get("backend"),
                     "host_cores": parsed.get("host_cores"),
-                    "rows": parsed["rows"]}
+                    "rows": parsed["rows"],
+                    # fixed total work sharded wider: flat-ideal even on
+                    # shared cores, so growth = sharded-path overhead
+                    "fixed_total_rows": parsed.get("fixed_total_rows")}
                 log(f"dp_scaling: {len(parsed['rows'])} mesh points, "
                     f"eff@8 = "
                     f"{parsed['rows'][-1].get('weak_efficiency_pct')}%")

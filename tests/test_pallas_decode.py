@@ -109,7 +109,7 @@ def test_dynamic_per_lane_params_match_xla(enc):
     nw = adaptive_worst_case_words(cfg, N, DEFAULT_LADDER)
     z = jnp.zeros((B,), jnp.int32)
     zu = jnp.zeros((B,), jnp.uint32)
-    words, sizes, _fb, g_sel = encode_blocks_adaptive(
+    words, sizes, _fb, g_sel, _ok = encode_blocks_adaptive(
         cfg, None, x, x, z, zu, zu, zu, nw, DEFAULT_LADDER)
     # per-lane params as the headers carry them
     from airs_compression_tpu.format.header import CmpHeader

@@ -247,6 +247,7 @@ def test_sp_pallas_pack_path_bit_identical(monkeypatch):
     )
     from airs_compression_tpu.parallel.sp import (
         _sharded_encode_program,
+        _sp_frame_program,
         compress_long_stream,
     )
 
@@ -260,12 +261,56 @@ def test_sp_pallas_pack_path_bit_identical(monkeypatch):
 
     monkeypatch.delenv("AIRS_SP_PACK_INTERPRET", raising=False)
     _sharded_encode_program.cache_clear()
+    _sp_frame_program.cache_clear()
     ref = compress_long_stream(mesh, params, data, identifier=7)
     monkeypatch.setenv("AIRS_SP_PACK_INTERPRET", "1")
     _sharded_encode_program.cache_clear()
+    _sp_frame_program.cache_clear()
     got = compress_long_stream(mesh, params, data, identifier=7)
     _sharded_encode_program.cache_clear()
+    _sp_frame_program.cache_clear()
     assert got == ref
+
+
+def test_sp_clamp_overflow_reencodes_full_capacity(monkeypatch):
+    """Noise data overflows the entropy-clamped SP pack; the transparent
+    full-capacity re-encode must still produce host-identical bytes
+    (interpret-mode Pallas rows so the clamped path actually runs on
+    CPU)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from airs_compression_tpu.engine.context import (
+        CmpContext,
+        set_timestamp_func,
+    )
+    from airs_compression_tpu.format.params import (
+        CmpParams,
+        EncoderType,
+        Preprocessing,
+    )
+    from airs_compression_tpu.parallel.sp import (
+        _sp_frame_program,
+        compress_long_stream,
+    )
+
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=4)
+    n = 4096 * 4
+    rng = np.random.default_rng(14)
+    data = rng.integers(0, 1 << 16, n).astype(np.uint16)  # incompressible
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    monkeypatch.setenv("AIRS_SP_PACK_INTERPRET", "1")
+    _sp_frame_program.cache_clear()
+    got = compress_long_stream(mesh, params, data, identifier=3)
+    _sp_frame_program.cache_clear()
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        ref = CmpContext(params).compress_u16(data)
+    finally:
+        set_timestamp_func(None)
+    assert got[14:] == ref[14:]  # identifier differs; rest byte-identical
 
 
 class TestSidecarParallelDecode:
