@@ -556,8 +556,8 @@ def stage_sp():
     with_alarm(budget,
                lambda: jax.block_until_ready(enc_loop(x_dev, 1)[0]))
     log(f"SP encode loop compiled+ran in {time.time()-t0:.1f}s")
-    per = with_alarm(min(remaining(), 240),
-                     measure_loop, enc_loop, x_dev, 1, 33, 3)
+    per = with_alarm(min(remaining(), 300),
+                     measure_loop, enc_loop, x_dev, 1, 129, 3)
     gbps = 2 * n / per / 1e9
 
     # --- sidecar chunk-parallel decode of the same frame (round-3
@@ -624,9 +624,9 @@ def stage_sp():
             np.asarray(sidecar_loop(out_words, x_dev, 1)[0][0])
             t_lo = time.time() - t_lo
             t_hi = time.time()
-            np.asarray(sidecar_loop(out_words, x_dev, 65)[0][0])
+            np.asarray(sidecar_loop(out_words, x_dev, 129)[0][0])
             t_hi = time.time() - t_hi
-            samples.append(max((t_hi - t_lo) / 64, 1e-9))
+            samples.append(max((t_hi - t_lo) / 128, 1e-9))
             log(f"  sp-decode lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
                 f"{samples[-1]*1e3:.3f} ms/iter")
         per_d = sorted(samples)[1]
@@ -915,13 +915,15 @@ def stage_wrapper_decode():
     log("correctness gate: wrapper decode round-trips (checksums "
         "verified on device)")
 
-    # host phase: staging cost per call (pure numpy, no device)
+    # host phase: staging cost per call (pure numpy, no device).  MIN of
+    # several reps: the concurrent CPU scaling subprocesses contend for
+    # this host's 2 cores and inflate medians ~3x
     ts = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.time()
         st = bd.stage_frames(frames)
         ts.append(time.time() - t0)
-    t_stage = sorted(ts)[len(ts) // 2]
+    t_stage = min(ts)
 
     # device phase: the decode_staged graph (byte swap of the raw-staged
     # words + decode + checksum) in one dynamic-trip-count loop (same
@@ -1244,12 +1246,14 @@ def main():
         (stage_encode_csum, 420),
         (stage_decode, 300),
         (stage_verify_configs, 360),
-        (stage_wrapper_decode, 420),
         (stage_decode_multi, 420),
         (stage_flagship, 420),
         (stage_adaptive_encode, 420),
         (stage_decode_adaptive, 420),
         (stage_decode_b512, 420),
+        # last: its host-phase number is cleanest once the CPU scaling
+        # subprocesses have drained
+        (stage_wrapper_decode, 420),
     ]
     if not sp_ok:
         # fallback: in-process, LAST — its dispatch will read degraded

@@ -36,7 +36,7 @@ from airs_compression_tpu.parallel.dp import place_encode_operands
 from airs_compression_tpu.parallel.mesh import make_mesh
 
 
-def measure(mesh, cfg, n_words, B, N, frames_i32, reps=5):
+def measure(mesh, cfg, n_words, B, N, frames_i32, reps=9):
     """Median wall time of the sharded encode over ``mesh``.
 
     Operands are placed once (device-resident, the steady-state pipeline
