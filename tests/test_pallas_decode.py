@@ -138,3 +138,34 @@ def test_dynamic_per_lane_params_match_xla(enc):
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
     np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_pal))
     np.testing.assert_array_equal(np.asarray(s_pal), np.asarray(x))
+
+
+def test_half_tile_instantiation_matches_full():
+    """sub=4 (512 blocks/tile) decodes bit-identically to sub=8.
+
+    The half tile exists for small batches; whether it is FASTER is a
+    hardware question (BASELINE.md: it is not — Mosaic pads 4-sublane
+    vregs), but it must always be exact.
+    """
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=4)
+    cfg = make_pass_config(params, False, True)
+    Bh = 512
+    rng = np.random.default_rng(31)
+    frames = ((1100 + rng.normal(0, 5, (Bh, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    x = jnp.asarray(frames.view(np.int16), jnp.int32)
+    n_words = worst_case_words(cfg, N)
+    zb = jnp.zeros((Bh,), jnp.uint32)
+    words, sizes = _encode_one_pass(cfg, x, x, zb.astype(jnp.int32), zb,
+                                    zb, zb, n_words)
+    model = jnp.zeros((Bh, N), jnp.int32)
+    s8, e8 = decode_blocks_pallas(cfg, words, model, N, interpret=True,
+                                  sub=8)
+    s4, e4 = decode_blocks_pallas(cfg, words, model, N, interpret=True,
+                                  sub=4)
+    np.testing.assert_array_equal(np.asarray(s4), np.asarray(s8))
+    np.testing.assert_array_equal(np.asarray(e4), np.asarray(e8))
+    np.testing.assert_array_equal(
+        np.asarray(s8).astype(np.int32).astype(np.uint16), frames)
