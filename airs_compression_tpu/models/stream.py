@@ -423,8 +423,15 @@ class BatchDecompressor:
             buf[:, :max_len] = np.frombuffer(
                 b"".join(frames), np.uint8).reshape(B, max_len)
         else:
-            for b, f in enumerate(frames):
-                buf[b, : lens[b]] = np.frombuffer(f, np.uint8)
+            from .. import native
+
+            if native.native_available():
+                # one join memcpy + one C row scatter (the per-row
+                # Python loop was the wrapper's dominant host cost)
+                native.scatter_rows(b"".join(frames), lens, stride, buf)
+            else:
+                for b, f in enumerate(frames):
+                    buf[b, : lens[b]] = np.frombuffer(f, np.uint8)
 
         h = parse_headers_batch(buf)
         # validation, same per-frame order as CmpHeader.deserialize + the

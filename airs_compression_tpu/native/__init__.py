@@ -18,7 +18,7 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "native_available", "encode_residuals",
-           "decode_mapped", "checksum_u16"]
+           "decode_mapped", "checksum_u16", "scatter_rows"]
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "airs_host.cpp"
@@ -80,6 +80,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_void_p]
+        lib.airs_scatter_rows.restype = None
+        lib.airs_scatter_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -115,6 +119,18 @@ def decode_mapped(src: bytes, start_bit: int, n: int, enc_type: int,
     if end == (1 << 64) - 1:
         return None, -1
     return out, end
+
+
+def scatter_rows(joined: bytes, lens: np.ndarray, stride: int,
+                 out: np.ndarray) -> None:
+    """Scatter ``joined`` (concatenated rows of lengths ``lens``) into the
+    zero-initialized (B, stride) uint8 matrix ``out`` (one C memcpy per
+    row).  Caller must have checked native_available()."""
+    lib = get_lib()
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.airs_scatter_rows(
+        joined, lens64.ctypes.data_as(ctypes.c_void_p),
+        lens64.size, stride, out.ctypes.data_as(ctypes.c_void_p))
 
 
 def checksum_u16(samples_u16: np.ndarray, seed: int) -> int:

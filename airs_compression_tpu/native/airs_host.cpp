@@ -296,4 +296,18 @@ uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
     return br.bitpos;
 }
 
+// Scatter a joined byte stream into fixed-stride zero-padded rows
+// (the batch decode tier's frame staging: rows are whole frames; the
+// per-row Python copy loop was a measurable share of wrapper decode).
+void airs_scatter_rows(const uint8_t* joined, const int64_t* lens,
+                       int64_t b, int64_t stride, uint8_t* out) {
+    const uint8_t* p = joined;
+    for (int64_t i = 0; i < b; ++i) {
+        int64_t len = lens[i];
+        int64_t take = len > stride ? stride : len;
+        if (take > 0) std::memcpy(out + i * stride, p, (size_t)take);
+        p += len;
+    }
+}
+
 }  // extern "C"

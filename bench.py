@@ -577,11 +577,14 @@ def stage_sp():
         dcfg = PassConfig(0, cfg.enc_type, cfg.g_par, cfg.outlier,
                           False, 0, False, True)
         hb = dcfg.hdr_bits
-        # worst-case window (static; the wrapper's exact-sized window
-        # needs a host fetch of max(chunk_bits), which would flip the
-        # tunnel into its ~25 ms synchronous-dispatch mode and poison
-        # every timing after it)
-        c_lane = (hb + chunk * dcfg.worst_bits_per_sample + 63) // 32 + 2
+        # exact-sized window, same as the wrapper: the process is already
+        # in synchronous-dispatch mode (deliberate flip above), so the
+        # max(chunk_bits) fetch costs one RTT and halves the slab plan
+        # versus the 19-bit worst case
+        max_bits = int(np.asarray(
+            _chunk_bits_device(cfg, x_dev[None], chunk)).max())
+        max_bits = min(max_bits, chunk * dcfg.worst_bits_per_sample)
+        c_lane = (hb + max_bits + 63) // 32 + 2
 
         @jax.jit
         def sidecar_loop(words_frame, x_in, n_iter):

@@ -57,3 +57,23 @@ def test_encode_decode_parity(enc_type, g_par, outlier):
 def test_decode_malformed_fails_cleanly():
     vals, end = native.decode_mapped(b"\xff" * 8, 0, 5, 1, 1, 16)
     assert vals is None and end == -1
+
+
+def test_scatter_rows_matches_python():
+    from airs_compression_tpu import native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    B, stride = 37, 96
+    lens = rng.integers(0, stride + 1, B)
+    rows = [rng.integers(0, 256, l).astype(np.uint8).tobytes()
+            for l in lens]
+    out = np.zeros((B, stride), np.uint8)
+    native.scatter_rows(b"".join(rows), lens, stride, out)
+    ref = np.zeros((B, stride), np.uint8)
+    for b, r in enumerate(rows):
+        ref[b, : lens[b]] = np.frombuffer(r, np.uint8)
+    np.testing.assert_array_equal(out, ref)
