@@ -11,9 +11,11 @@ Host responsibilities (everything the device cannot or should not do):
     including the double-draw on an uncompressed fallback (cmp.c:380-392 +
     engine re-reset) — fallen-back frames get their header identifier
     bytes patched after the device call;
-  * XXH32 checksums of the raw frames (optional; sequential algorithm,
-    computed with the native xxhash fast path);
   * slicing the device's fixed-capacity word buffers into per-frame bytes.
+
+XXH32 checksums are computed batch-parallel ON DEVICE
+(ops/xxh32_device.py) on both the encode and the verify side; the
+sequential host implementation remains the CPU fallback.
 
 Mixed-phase batches (some chains on a primary pass, others on secondary —
 possible after a fallback resets one chain) are handled by encoding the
