@@ -123,7 +123,6 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
     from ..engine.host import decode_block
     from ..format.header import CmpHeader
     from ..format.params import Preprocessing as _P
-    from ..utils.xxh32 import cmp_checksum
     from .stream import BatchDecompressor
 
     n_total = len(stream)

@@ -417,8 +417,11 @@ class BatchDecompressor:
         max_len = int(lens.max()) if B else 0
         n_words = (max_len + 3) // 4 + 2
         # bucket the buffer width so repeated calls with slightly
-        # different frame sizes reuse one compiled decode program
-        n_words = 1 << (n_words - 1).bit_length()
+        # different frame sizes reuse one compiled decode program; the
+        # floor keeps stride >= CMP_HDR_MAX_SIZE so the vectorized
+        # header parse is in bounds even when EVERY frame is truncated
+        # (those batches must raise CmpError, not IndexError)
+        n_words = 1 << max((n_words - 1).bit_length(), 3)
         stride = n_words * 4
         buf = np.zeros((B, stride), np.uint8)
         if (lens == max_len).all():
@@ -476,12 +479,11 @@ class BatchDecompressor:
 
         import sys as _sys
 
-        if _sys.byteorder == "little":
-            words, raw = buf.view(np.uint32), True
-        else:  # big-endian host: bytes already read as BE word values
-            words, raw = buf.view(np.uint32), False
+        # on a little-endian host the raw u32 view is byte-swapped
+        # relative to the stream's BE word values; the device swaps
         return StagedFrames(
-            words=words, raw=raw, n_words=n_words,
+            words=buf.view(np.uint32), raw=_sys.byteorder == "little",
+            n_words=n_words,
             prep=h.preprocessing, enc=h.encoder_type,
             cs=h.checksum_enabled, seq=h.sequence_number,
             g=h.encoder_param, outlier=h.encoder_outlier,
@@ -542,9 +544,16 @@ class BatchDecompressor:
 
         csum = None
         if self.verify_checksum and (st.cs != 0).any():
-            from ..ops.xxh32_device import checksum_blocks_device
+            from ..ops.xxh32_device import (
+                checksum_blocks_device,
+                use_device_checksum,
+            )
 
-            csum = checksum_blocks_device(samples)
+            if use_device_checksum():
+                csum = checksum_blocks_device(samples)
+            # else: finish() verifies on host with the native xxhash
+            # fast path once the samples are fetched (the routing
+            # predicate use_device_checksum governs every tier)
         return DecodedFrames(samples=samples, end_bits=end_bits, csum=csum)
 
     # -- integrity + state transition -------------------------------------
@@ -568,18 +577,31 @@ class BatchDecompressor:
 
         # XXH32 trailer enforcement (reference header.c:137-163: the
         # checksum bit is part of the block contract; the host and
-        # chunked tiers already raise on mismatch — so does this one)
+        # chunked tiers already raise on mismatch — so does this one).
+        # decode_staged computed the checksums on device when the
+        # backend routing allows; otherwise verify here on host with the
+        # native xxhash fast path over the fetched samples.
+        out = np.asarray(dec.samples).astype(np.int32).astype(np.uint16)
         if dec.csum is not None:
             calc = np.asarray(fetched[1], np.uint64)
             bad = np.nonzero((st.cs != 0)
                              & (calc != st.stored_csum.astype(np.uint64)))[0]
-            if bad.size:
-                b = int(bad[0])
-                raise CmpError(
-                    CmpErrorCode.GENERIC,
-                    f"block {b}: checksum mismatch: stored "
-                    f"{int(st.stored_csum[b]):#010x} != computed "
-                    f"{int(calc[b]):#010x}")
+        elif self.verify_checksum and (st.cs != 0).any():
+            calc = np.fromiter(
+                (cmp_checksum(out[b]) if st.cs[b] else 0
+                 for b in range(self.batch)),
+                np.uint64, count=self.batch)
+            bad = np.nonzero((st.cs != 0)
+                             & (calc != st.stored_csum.astype(np.uint64)))[0]
+        else:
+            bad = np.empty(0, np.int64)
+        if bad.size:
+            b = int(bad[0])
+            raise CmpError(
+                CmpErrorCode.GENERIC,
+                f"block {b}: checksum mismatch: stored "
+                f"{int(st.stored_csum[b]):#010x} != computed "
+                f"{int(calc[b]):#010x}")
 
         # model transition identical to the encoder's: per-block seq;
         # fallback frames carry seq 0, which reseeds the model exactly as
@@ -589,7 +611,7 @@ class BatchDecompressor:
                 dec.samples, self.model, jnp.asarray(st.seq),
                 jnp.zeros((self.batch,), bool),
                 self.params.model_rate, self.cmp_type is CmpType.U16)
-        return np.asarray(dec.samples).astype(np.int32).astype(np.uint16)
+        return out
 
     def decompress_frames(self, frames: "list[bytes]") -> np.ndarray:
         """Decode one AIRSPACE frame per chain -> (B, N) uint16 samples."""

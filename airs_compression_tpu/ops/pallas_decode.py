@@ -255,8 +255,9 @@ def decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
     per-block Golomb parameters (header-driven decode of adaptive
     streams); ``cfg.g_par`` must then upper-bound every lane's parameter
     so the slab cadence plan stays safe.  ``sub`` picks the sublane tile
-    (8 -> 1024 blocks/tile, 4 -> 512); default: half tile for batches
-    that fit it, overridable with ``AIRS_TPU_DECODE_SUB``.  Returns
+    (8 -> 1024 blocks/tile, 4 -> 512); the default is 8 — the half tile
+    is opt-in (per call or ``AIRS_TPU_DECODE_SUB``) because it measures
+    no faster on hardware (BASELINE.md).  Returns
     (samples (B, N) int32, end_bitpos (B,)).
     """
     import os as _os

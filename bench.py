@@ -655,7 +655,7 @@ def stage_sp():
         RESULT["sp_sidecar_build_ms"] = round(
             max((t_hi - t_lo) / 128, 1e-9) * 1e3, 3)
         log(f"sidecar build: {RESULT['sp_sidecar_build_ms']} ms")
-    except (_Timeout, Exception) as e:
+    except Exception as e:  # incl. _Timeout
         log(f"sidecar decode stage failed: {type(e).__name__} {e}")
 
     # gate: full frame must be byte-identical to the host codec

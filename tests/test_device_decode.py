@@ -250,6 +250,17 @@ class TestHeaderDrivenDecode:
         with pytest.raises(CmpError):
             bd.decompress_frames(outs)
 
+    def test_all_frames_truncated_raises_cmp_error(self):
+        """A batch whose EVERY frame is shorter than a header must raise
+        CmpError (the vectorized staging once indexed past its byte
+        matrix here — found by review)."""
+        from airs_compression_tpu.format.errors import CmpError
+
+        bd = BatchDecompressor(CmpParams(), 2, 64)
+        for frames in ([b"\x00" * 8] * 2, [b""] * 2, [b"\x01"] * 2):
+            with pytest.raises(CmpError):
+                bd.decompress_frames(list(frames))
+
     def test_corrupt_golomb_param_raises_cmp_error(self):
         """A zeroed encoder_param in a header must raise CmpError, not a
         raw ValueError (host-decoder guard parity; found by review)."""
@@ -425,9 +436,20 @@ def test_staged_api_matches_wrapper():
     bd = BatchDecompressor(params, B, N)
     st = bd.stage_frames(outs)
     dec = bd.decode_staged(st)
-    assert dec.csum is not None  # checksummed batch computes device XXH32
     out = bd.finish(st, dec)
     np.testing.assert_array_equal(out, frames)
+    # checksums verified whichever side computed them (device kernel
+    # when use_device_checksum(); host xxhash otherwise) — a corrupt
+    # trailer must still raise through the staged API
+    from airs_compression_tpu.format.errors import CmpError
+
+    bad = list(outs)
+    m = bytearray(bad[1])
+    m[-1] ^= 0xFF
+    bad[1] = bytes(m)
+    st2 = bd.stage_frames(bad)
+    with pytest.raises(CmpError, match="checksum mismatch"):
+        bd.finish(st2, bd.decode_staged(st2))
 
 
 def test_randomized_config_sweep_device_vs_host():

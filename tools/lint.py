@@ -60,9 +60,17 @@ def _used_names(tree: ast.AST) -> set[str]:
 
 
 def _import_bindings(tree: ast.Module):
-    """Module-scope import bindings -> (name, lineno)."""
+    """ALL import bindings (module + function scope) -> (name, lineno).
+
+    Usage is checked against the whole module's name references, so a
+    name imported in one function but used in another is (incorrectly)
+    considered used — no false positives, at the cost of missing that
+    case.  Fully dead imports anywhere are caught (found by review: a
+    function-level import survived the original module-scope-only
+    check).
+    """
     out = []
-    for node in tree.body:
+    for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
                 name = a.asname or a.name.split(".")[0]
