@@ -154,10 +154,20 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
             j += 1
         if j - i >= 2:  # a device-worthy run of uniform independent blocks
             n_samples = h0.original_size // 2
-            frames = [stream[o : o + h.compressed_size]
-                      for o, h in blocks[i:j]]
-            b_pad = min(batch, _next_pow2(len(frames)))
-            frames_padded = frames + [frames[-1]] * (b_pad - len(frames))
+            n_run = j - i
+            b_pad = min(batch, _next_pow2(n_run))
+            # stage straight from the stream buffer by (offset, length) —
+            # no per-block slices, no re-join (padding repeats the last
+            # block's span)
+            offs = np.fromiter(
+                (blocks[k][0] for k in range(i, j)), np.int64, count=n_run)
+            lens = np.fromiter(
+                (blocks[k][1].compressed_size for k in range(i, j)),
+                np.int64, count=n_run)
+            offs = np.concatenate(
+                [offs, np.full(b_pad - n_run, offs[-1], np.int64)])
+            lens = np.concatenate(
+                [lens, np.full(b_pad - n_run, lens[-1], np.int64)])
             bd = decoders.get((b_pad, n_samples))
             if bd is None:
                 # params only steer model bookkeeping, which these
@@ -170,7 +180,8 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                                        cmp_type,
                                        verify_checksum=verify_checksum)
                 decoders[(b_pad, n_samples)] = bd
-            decoded = bd.decompress_frames(frames_padded)
+            st = bd.stage_frames_at(stream, offs, lens)
+            decoded = bd.finish(st, bd.decode_staged(st))
             for k, (o, h) in enumerate(blocks[i:j]):
                 samples = decoded[k]
                 state.update_after_block(h, samples)

@@ -414,16 +414,9 @@ class BatchDecompressor:
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
         B = self.batch
         lens = np.fromiter((len(f) for f in frames), np.int64, count=B)
-        max_len = int(lens.max()) if B else 0
-        n_words = (max_len + 3) // 4 + 2
-        # bucket the buffer width so repeated calls with slightly
-        # different frame sizes reuse one compiled decode program; the
-        # floor keeps stride >= CMP_HDR_MAX_SIZE so the vectorized
-        # header parse is in bounds even when EVERY frame is truncated
-        # (those batches must raise CmpError, not IndexError)
-        n_words = 1 << max((n_words - 1).bit_length(), 3)
-        stride = n_words * 4
+        n_words, stride = self._staging_geometry(lens)
         buf = np.zeros((B, stride), np.uint8)
+        max_len = int(lens.max()) if B else 0
         if (lens == max_len).all():
             buf[:, :max_len] = np.frombuffer(
                 b"".join(frames), np.uint8).reshape(B, max_len)
@@ -437,7 +430,58 @@ class BatchDecompressor:
             else:
                 for b, f in enumerate(frames):
                     buf[b, : lens[b]] = np.frombuffer(f, np.uint8)
+        return self._stage_from_buf(buf, lens, n_words)
 
+    def stage_frames_at(self, stream: bytes, offsets, lens) -> StagedFrames:
+        """Stage B frames that live inside ONE contiguous buffer.
+
+        The concatenated-stream (file) decode path: blocks are located by
+        (offset, length) pairs and staged straight from ``stream`` with
+        one C scatter — no per-block slices, no re-join.  Same
+        validation/parse path as :meth:`stage_frames`.
+        """
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        if lens.size != self.batch or offsets.size != self.batch:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
+        if (offsets < 0).any() or (lens < 0).any() or (
+                offsets + lens > len(stream)).any():
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                           "frame spans exceed the stream buffer")
+        n_words, stride = self._staging_geometry(lens)
+        buf = np.zeros((self.batch, stride), np.uint8)
+        from .. import native
+
+        if native.native_available():
+            native.scatter_rows_at(stream, offsets, lens, stride, buf)
+        else:
+            sv = np.frombuffer(stream, np.uint8)
+            for b in range(self.batch):
+                buf[b, : lens[b]] = sv[offsets[b] : offsets[b] + lens[b]]
+        return self._stage_from_buf(buf, lens, n_words)
+
+    @staticmethod
+    def _staging_geometry(lens: "np.ndarray") -> "tuple[int, int]":
+        max_len = int(lens.max()) if lens.size else 0
+        n_words = (max_len + 3) // 4 + 2
+        # bucket the buffer width so repeated calls with slightly
+        # different frame sizes reuse one compiled decode program; the
+        # floor keeps stride >= CMP_HDR_MAX_SIZE so the vectorized
+        # header parse is in bounds even when EVERY frame is truncated
+        # (those batches must raise CmpError, not IndexError)
+        n_words = 1 << max((n_words - 1).bit_length(), 3)
+        return n_words, n_words * 4
+
+    def _stage_from_buf(self, buf: "np.ndarray", lens: "np.ndarray",
+                        n_words: int) -> StagedFrames:
+        from ..format.header import (
+            CMP_HDR_MAX_SIZE,
+            CMP_HDR_SIZE,
+            parse_headers_batch,
+        )
+
+        B = self.batch
+        stride = n_words * 4
         h = parse_headers_batch(buf)
         # validation, same per-frame order as CmpHeader.deserialize + the
         # host decoder's guards: for each frame the FIRST failing check

@@ -18,7 +18,8 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "native_available", "encode_residuals",
-           "decode_mapped", "checksum_u16", "scatter_rows"]
+           "decode_mapped", "checksum_u16", "scatter_rows",
+           "scatter_rows_at"]
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "airs_host.cpp"
@@ -84,6 +85,10 @@ def get_lib():
         lib.airs_scatter_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p]
+        lib.airs_scatter_rows_at.restype = None
+        lib.airs_scatter_rows_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -131,6 +136,20 @@ def scatter_rows(joined: bytes, lens: np.ndarray, stride: int,
     lib.airs_scatter_rows(
         joined, lens64.ctypes.data_as(ctypes.c_void_p),
         lens64.size, stride, out.ctypes.data_as(ctypes.c_void_p))
+
+
+def scatter_rows_at(src: bytes, offs: np.ndarray, lens: np.ndarray,
+                    stride: int, out: np.ndarray) -> None:
+    """Like :func:`scatter_rows` but rows come from per-row offsets into
+    ``src`` (the concatenated-stream decode path stages without
+    materializing per-block slices)."""
+    lib = get_lib()
+    offs64 = np.ascontiguousarray(offs, dtype=np.int64)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.airs_scatter_rows_at(
+        src, offs64.ctypes.data_as(ctypes.c_void_p),
+        lens64.ctypes.data_as(ctypes.c_void_p), lens64.size, stride,
+        out.ctypes.data_as(ctypes.c_void_p))
 
 
 def checksum_u16(samples_u16: np.ndarray, seed: int) -> int:

@@ -310,4 +310,17 @@ void airs_scatter_rows(const uint8_t* joined, const int64_t* lens,
     }
 }
 
+// Same, with explicit per-row source offsets into ``src`` — the
+// concatenated-stream (file) decode path stages blocks straight from
+// the stream buffer without materializing per-block slices.
+void airs_scatter_rows_at(const uint8_t* src, const int64_t* offs,
+                          const int64_t* lens, int64_t b, int64_t stride,
+                          uint8_t* out) {
+    for (int64_t i = 0; i < b; ++i) {
+        int64_t take = lens[i] > stride ? stride : lens[i];
+        if (take > 0) std::memcpy(out + i * stride, src + offs[i],
+                                  (size_t)take);
+    }
+}
+
 }  // extern "C"

@@ -499,3 +499,32 @@ def test_randomized_config_sweep_device_vs_host():
                                           err_msg=f"trial {trial} {kw}")
     finally:
         set_timestamp_func(None)
+
+
+def test_stage_frames_at_matches_list_staging():
+    """stage_frames_at (contiguous-stream staging by offset/length) and
+    stage_frames (bytes list) produce identical staged batches and
+    decode identically — the chunked file path uses the former."""
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3, checksum_enabled=True)
+    B, N = 4, 192
+    rng = np.random.default_rng(41)
+    frames = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    outs = list(BatchCompressor(params, B, N).compress_frames(frames))
+    stream = b"".join(outs)
+    lens = np.array([len(f) for f in outs], np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    bd = BatchDecompressor(params, B, N)
+    st_list = bd.stage_frames(outs)
+    st_at = bd.stage_frames_at(stream, offs, lens)
+    np.testing.assert_array_equal(st_at.words, st_list.words)
+    np.testing.assert_array_equal(st_at.stored_csum, st_list.stored_csum)
+    out = bd.finish(st_at, bd.decode_staged(st_at))
+    np.testing.assert_array_equal(out, frames)
+    # bounds validation
+    from airs_compression_tpu.format.errors import CmpError
+
+    with pytest.raises(CmpError):
+        bd.stage_frames_at(stream, offs + 10_000, lens)
