@@ -730,19 +730,43 @@ def decode_block(frame: bytes, model_i16: np.ndarray | None = None,
             out = np.empty(n_samples, dtype=np.uint16)
             if enc_t == EncoderType.GOLOMB_ZERO:
                 for i in range(n_samples):
+                    p0 = br.pos
                     v = _golomb_decode_one(br, g_par, g_log2)
+                    if br.pos - p0 > 32:
+                        # no conforming encoder emits a Golomb part wider
+                        # than the 32-bit codeword cap (encoder.h:17-30)
+                        raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                       "malformed payload")
                     if v == 0:  # escape: raw 16-bit mapped value follows
                         out[i] = br.read(16)
                     else:
+                        if v - 1 > 0xFFFF:  # non-emittable mapped value
+                            raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                           "malformed payload")
                         out[i] = v - 1
             else:  # GOLOMB_MULTI
                 for i in range(n_samples):
+                    p0 = br.pos
                     v = _golomb_decode_one(br, g_par, g_log2)
+                    if br.pos - p0 > 32:
+                        raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                       "malformed payload")
                     if v >= outlier:
                         level = v - outlier
-                        diff = br.read((level + 1) * 2)
-                        out[i] = outlier + diff
+                        nb = (level + 1) * 2
+                        if nb > 32:  # escape wider than any encoder emits
+                            raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                           "malformed payload")
+                        diff = br.read(nb)
+                        val = outlier + diff
+                        if val > 0xFFFF:  # non-emittable mapped value
+                            raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                           "malformed payload")
+                        out[i] = val
                     else:
+                        if v > 0xFFFF:
+                            raise CmpError(CmpErrorCode.INT_BITSTREAM,
+                                           "malformed payload")
                         out[i] = v
             residuals = zigzag_unmap(out)
 

@@ -360,20 +360,39 @@ class BatchDecompressor:
         self.cmp_type = cmp_type
         self.unsigned = cmp_type is CmpType.U16
         self.verify_checksum = verify_checksum
+        self._expected_params_cache = None
         self.model = jnp.zeros((batch, n_samples), jnp.int32)
         from ..utils.profiling import ThroughputMeter
 
         self.metrics = ThroughputMeter()
 
+    def _expected_enc_params(self) -> "set[tuple[int, int]]":
+        """(g, outlier) pairs this decompressor's own params would emit."""
+        if self._expected_params_cache is None:
+            out = set()
+            for cfg in (make_pass_config(self.params, False, self.unsigned),
+                        make_pass_config(self.params, True, self.unsigned)
+                        if self.params.secondary_iterations else None):
+                if cfg is not None and cfg.enc_type != 0:
+                    out.add((cfg.g_par, cfg.outlier))
+            self._expected_params_cache = out
+        return self._expected_params_cache
+
     def _group_cfg(self, prep: int, enc: int, cs: int, g_vals, o_vals):
         """Decode PassConfig for one header method group.
 
         Returns (cfg, g_dyn, outlier_dyn); the dynamic arrays are None
-        when the group's parameters are uniform (the common, fastest
-        case — reuses the static-parameter compiled program).  For mixed
-        parameters (adaptive streams), ``cfg.g_par`` is bucketed to the
-        next power of two above the lane maximum, so recompiles are
-        bounded by log2 of the ladder span, not by data content.
+        when the group's parameters are uniform AND expected from this
+        decompressor's own params (the common lockstep case — reuses the
+        static-parameter compiled program).  Everything else — mixed
+        parameters (adaptive streams) and uniform-but-unexpected values —
+        takes the per-lane dynamic kernel with ``cfg.g_par`` bucketed to
+        the next power of two, so the number of compiled programs is
+        bounded by log2 of the parameter range, never by stream content
+        (a stream with adversarial headers must not be able to force one
+        fresh XLA compile per header value — found by the fuzz soak,
+        which ran the process out of JIT code memory that way; the
+        dynamic kernel benches within ~2% of the static one).
         """
         from ..ops.encode import PassConfig
 
@@ -384,7 +403,8 @@ class BatchDecompressor:
             return cfg, None, None
         uniform = (g_vals.min() == g_vals.max()
                    and o_vals.min() == o_vals.max())
-        if uniform:
+        if uniform and (int(g_vals[0]),
+                        int(o_vals[0])) in self._expected_enc_params():
             cfg = PassConfig(prep, enc, int(g_vals[0]), int(o_vals[0]),
                              bool(cs), self.params.model_rate, prep == 3,
                              self.unsigned)
@@ -502,6 +522,13 @@ class BatchDecompressor:
              & ~((1 <= h.encoder_param) & (h.encoder_param <= 0xFFFF)),
              CmpErrorCode.PARAMS_INVALID,
              "bad Golomb parameter in header"),
+            # MODEL preprocessing needs prior chain state; no encoder
+            # emits it on a primary pass (reference cmp.c:228-254 — the
+            # seq-0 pass reseeds the model instead), so a seq-0 MODEL
+            # header is corrupt (same rule as the chunked host path)
+            ((h.preprocessing == 3) & (h.sequence_number == 0),
+             CmpErrorCode.INT_HDR,
+             "MODEL preprocessing on a primary pass"),
         )
         fail_rank = np.full(B, len(checks), np.int64)
         for rank, (bad, _, _) in reversed(list(enumerate(checks))):

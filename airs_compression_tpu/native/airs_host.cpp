@@ -264,6 +264,7 @@ uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
             if (!get_bits(br, 1)) break;
             if (++q > 32) return FAIL;
         }
+        uint32_t gbits = q + 1 + g_log2;
         uint32_t r = 0;
         if (g_log2) {
             if (br.bitpos + g_log2 > br.bitlen) return FAIL;
@@ -272,13 +273,18 @@ uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
         if (r >= cutoff) {
             if (br.bitpos + 1 > br.bitlen) return FAIL;
             r = ((r << 1) | get_bits(br, 1)) - cutoff;
+            gbits += 1;
         }
+        // no conforming encoder emits a Golomb part wider than the
+        // 32-bit codeword cap (reference encoder.h:17-30)
+        if (gbits > 32) return FAIL;
         uint32_t v = q * g_par + r;
         if (enc_type == 1) {  // zero escape
             if (v == 0) {
                 if (br.bitpos + 16 > br.bitlen) return FAIL;
                 out[i] = (uint16_t)get_bits(br, 16);
             } else {
+                if (v - 1 > 0xFFFFu) return FAIL;  // non-emittable value
                 out[i] = (uint16_t)(v - 1);
             }
         } else {  // multi escape
@@ -286,9 +292,11 @@ uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
                 uint32_t level = v - outlier;
                 unsigned nb = (level + 1) * 2;
                 if (nb > 32 || br.bitpos + nb > br.bitlen) return FAIL;
-                uint32_t diff = get_bits(br, nb);
-                out[i] = (uint16_t)(outlier + diff);
+                uint64_t val = (uint64_t)outlier + get_bits(br, nb);
+                if (val > 0xFFFFu) return FAIL;  // non-emittable value
+                out[i] = (uint16_t)val;
             } else {
+                if (v > 0xFFFFu) return FAIL;
                 out[i] = (uint16_t)v;
             }
         }

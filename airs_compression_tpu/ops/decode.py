@@ -99,17 +99,31 @@ def _golomb_terms(cfg: PassConfig, g_dyn=None, outlier_dyn=None):
     return g_par, g_log2, cutoff, outlier
 
 
+# poison added to a lane's end bit position when a malformed codeword is
+# seen: guarantees (end + 7) // 8 exceeds any 24-bit compressed_size, so
+# the callers' existing exhaustion checks reject the block (the device
+# cannot raise per lane; the host decoders raise INT_BITSTREAM directly)
+BAD_CODE_POISON_BITS = 1 << 29
+
+
 def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array,
                 g_dyn=None, outlier_dyn=None):
     """Decode one codeword per block from its 64-bit window.
 
-    Returns (mapped_or_raw_value: uint32, consumed_bits: int32).
+    Returns (mapped_or_raw_value: uint32, consumed_bits: int32,
+    bad: bool) — ``bad`` marks a MALFORMED codeword: a Golomb part wider
+    than the format's 32-bit codeword cap (reference encoder.h:17-30; no
+    conforming encoder emits one) or a MULTI escape asking for more than
+    32 raw bits.  Such codewords only occur in corrupt streams; the host
+    decoders reject them, so the device must too (found by the fuzz
+    soak: garbage-decoding them silently diverged from the host).
     ``g_dyn``/``outlier_dyn`` optionally supply per-lane parameters
     (broadcastable against ``hi``) for header-driven decode.
     """
     if cfg.enc_type == 0:  # UNCOMPRESSED: raw 16-bit residual
         v = hi >> _U32(16)
-        return v, jnp.full(hi.shape, 16, jnp.int32)
+        return (v, jnp.full(hi.shape, 16, jnp.int32),
+                jnp.zeros(hi.shape, bool))
 
     g_par, g_log2, cutoff, outlier = _golomb_terms(cfg, g_dyn, outlier_dyn)
 
@@ -123,22 +137,29 @@ def _decode_one(cfg: PassConfig, hi: jax.Array, lo: jax.Array,
     rem = jnp.where(long_form, r_long, r0)
     v = q.astype(_U32) * g_par + rem
     consumed = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
+    bad = consumed > 32  # Golomb part exceeds the 32-bit codeword cap
 
     if cfg.enc_type == 1:  # GOLOMB_ZERO
         esc = v == 0
         raw = _take_bits(hi, lo, consumed, jnp.where(esc, 16, 0))
         mapped = jnp.where(esc, raw, v - _U32(1))
         consumed = consumed + jnp.where(esc, 16, 0)
-        return mapped, consumed
+        # a mapped value over 16 bits is non-emittable (zigzag of an i16
+        # is < 2^16) — malformed, like the host decoders reject
+        bad = bad | (mapped > _U32(0xFFFF))
+        return mapped, consumed, bad
 
     if cfg.enc_type == 2:  # GOLOMB_MULTI
         esc = v >= outlier
         level = jnp.where(esc, v - outlier, _U32(0))
         nbits = ((level + _U32(1)) * _U32(2)).astype(jnp.int32)
+        bad = bad | (esc & (nbits > 32))
+        nbits = jnp.minimum(nbits, 32)  # keep the window math in range
         diff = _take_bits(hi, lo, consumed, jnp.where(esc, nbits, 0))
         mapped = jnp.where(esc, outlier + diff, v)
         consumed = consumed + jnp.where(esc, nbits, 0)
-        return mapped, consumed
+        bad = bad | (mapped > _U32(0xFFFF))  # see GOLOMB_ZERO note
+        return mapped, consumed, bad
 
     raise ValueError(f"unknown encoder type {cfg.enc_type}")
 
@@ -189,14 +210,20 @@ def decode_blocks_device(cfg: PassConfig, words: jax.Array, model: jax.Array,
 
         return decode_blocks_pallas(cfg, words, model, n_samples,
                                     g_dyn=g_dyn, outlier_dyn=outlier_dyn)
-    init_pos = jnp.full((B,), cfg.hdr_bits, jnp.int32)
+    init = (jnp.full((B,), cfg.hdr_bits, jnp.int32),
+            jnp.zeros((B,), bool))
 
-    def step(pos, _):
+    def step(carry, _):
+        pos, badf = carry
         hi, lo = _window64(words, pos)
-        val, consumed = _decode_one(cfg, hi, lo, g_dyn, outlier_dyn)
-        return pos + consumed, val
+        val, consumed, bad = _decode_one(cfg, hi, lo, g_dyn, outlier_dyn)
+        return (pos + consumed, badf | bad), val
 
-    end_pos, vals = jax.lax.scan(step, init_pos, None, length=n_samples)
+    (end_pos, badf), vals = jax.lax.scan(step, init, None,
+                                         length=n_samples)
+    # poisoned end positions make the callers' exhaustion checks reject
+    # blocks containing malformed codewords (see _decode_one)
+    end_pos = end_pos + jnp.where(badf, BAD_CODE_POISON_BITS, 0)
     vals = jnp.moveaxis(vals, 0, -1)  # (B, N)
 
     if cfg.enc_type == 0:

@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import golomb, preprocess
-from .decode import _clz32, _decode_one, _golomb_terms, _take_bits
+from .decode import (BAD_CODE_POISON_BITS, _clz32, _decode_one,
+                     _golomb_terms, _take_bits)
 from .encode import PassConfig
 
 __all__ = ["decode_blocks_pallas", "pallas_decode_supported"]
@@ -136,6 +137,7 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
         st[1] = lo
         st[2] = zero + (64 - r0)
         st[3] = zero + (wi0 + 2)
+        st[4 + n_lv] = zero.astype(_U32)  # malformed-codeword flag
         for li in reversed(range(n_lv)):
             refresh_level(li, zero + (wi0 + 2))
 
@@ -182,7 +184,8 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
             navail, wi = st[2].astype(jnp.int32), st[3].astype(jnp.int32)
 
             if not two_phase:
-                val, used = _decode_one(cfg, hi, lo, g_lane, out_lane)
+                val, used, bad = _decode_one(cfg, hi, lo, g_lane, out_lane)
+                st[4 + n_lv] = st[4 + n_lv] | bad.astype(_U32)
                 hi, lo, navail = consume(hi, lo, navail, used)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
             else:
@@ -200,6 +203,8 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
                                 rbits)
                 v = q.astype(_U32) * g_par + rem
                 used1 = q + 1 + g_log2 + jnp.where(long_form, 1, 0)
+                # Golomb part over the 32-bit codeword cap = malformed
+                st[4 + n_lv] = st[4 + n_lv] | (used1 > 32).astype(_U32)
                 hi, lo, navail = consume(hi, lo, navail, used1)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
                 # phase 2: escape raw bits (<= 32)
@@ -208,8 +213,13 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
                 nbits = jnp.where(esc,
                                   ((level + _U32(1)) * _U32(2)).astype(
                                       jnp.int32), 0)
+                st[4 + n_lv] = st[4 + n_lv] | (nbits > 32).astype(_U32)
+                nbits = jnp.minimum(nbits, 32)  # keep consume() in range
                 diff = _take_bits(hi, lo, jnp.zeros_like(nbits), nbits)
                 val = jnp.where(esc, outlier + diff, v)
+                # a >16-bit mapped value is non-emittable -> malformed
+                st[4 + n_lv] = st[4 + n_lv] | (val > _U32(0xFFFF)).astype(
+                    _U32)
                 hi, lo, navail = consume(hi, lo, navail, nbits)
                 hi, lo, navail, wi = refill(hi, lo, navail, wi)
 
@@ -237,7 +247,9 @@ def _make_kernel(cfg: PassConfig, n_samples: int, C_in: int, C_pad: int,
         else:
             jax.lax.fori_loop(0, n_samples, step, 0)
         endpos_ref[:] = (st[3].astype(jnp.int32) * 32
-                         - st[2].astype(jnp.int32))[None, None]
+                         - st[2].astype(jnp.int32)
+                         + st[4 + n_lv].astype(jnp.int32)
+                         * BAD_CODE_POISON_BITS)[None, None]
 
     return kernel, levels
 
@@ -321,7 +333,8 @@ def _decode_blocks_pallas(cfg: PassConfig, words: jax.Array,
                                      memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((size, sub, _LANES), _U32)
                for size, _, _ in levels]
-    scratch.append(pltpu.VMEM((4 + len(levels), sub, _LANES), _U32))
+    # state rows: hi, lo, navail, wi, per-level bases, bad-codeword flag
+    scratch.append(pltpu.VMEM((5 + len(levels), sub, _LANES), _U32))
     out, endpos = pl.pallas_call(
         kernel,
         grid=(tiles,),
