@@ -74,6 +74,26 @@ def _new_identifier() -> int:
     return (((coarse & 0xFFFFFFFF) << 16) | (fine & 0xFFFF)) & ((1 << 48) - 1)
 
 
+def _new_identifiers(k: int) -> "np.ndarray":
+    """k sequential identifier draws as one (k,) uint64 array.
+
+    Byte-for-byte equal to k :func:`_new_identifier` calls (the batch
+    encoder draws one per block in block order, like B sequential
+    reference contexts).  With the internal monotonic counter the k
+    counts are reserved in one locked step — ((cnt >> 16) << 16) | (cnt
+    & 0xFFFF) == cnt for cnt < 2^48, so the identifiers are just the
+    counter values; a custom timestamp source is called k times.
+    """
+    if _timestamp_func is _fallback_timestamp:
+        with _fallback_timestamp._lock:
+            base = _fallback_timestamp._cnt
+            _fallback_timestamp._cnt += k
+        return ((base + np.arange(k, dtype=np.uint64))
+                & np.uint64((1 << 48) - 1))
+    return np.fromiter((_new_identifier() for _ in range(k)), np.uint64,
+                       count=k)
+
+
 class CmpContext:
     """Stateful compression context (reference struct cmp_context + API).
 

@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = ["get_lib", "native_available", "encode_residuals",
            "decode_mapped", "checksum_u16", "scatter_rows",
-           "scatter_rows_at"]
+           "scatter_rows_at", "gather_rows", "stage_parse"]
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "airs_host.cpp"
@@ -89,6 +89,14 @@ def get_lib():
         lib.airs_scatter_rows_at.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.airs_gather_rows.restype = ctypes.c_int64
+        lib.airs_gather_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.airs_stage_parse.restype = ctypes.c_int32
+        lib.airs_stage_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 9
         _lib = lib
         return _lib
 
@@ -129,8 +137,9 @@ def decode_mapped(src: bytes, start_bit: int, n: int, enc_type: int,
 def scatter_rows(joined: bytes, lens: np.ndarray, stride: int,
                  out: np.ndarray) -> None:
     """Scatter ``joined`` (concatenated rows of lengths ``lens``) into the
-    zero-initialized (B, stride) uint8 matrix ``out`` (one C memcpy per
-    row).  Caller must have checked native_available()."""
+    (B, stride) uint8 matrix ``out`` (one C memcpy + tail memset per row
+    — ``out`` needs no prior zeroing).  Caller must have checked
+    native_available()."""
     lib = get_lib()
     lens64 = np.ascontiguousarray(lens, dtype=np.int64)
     lib.airs_scatter_rows(
@@ -150,6 +159,57 @@ def scatter_rows_at(src: bytes, offs: np.ndarray, lens: np.ndarray,
         src, offs64.ctypes.data_as(ctypes.c_void_p),
         lens64.ctypes.data_as(ctypes.c_void_p), lens64.size, stride,
         out.ctypes.data_as(ctypes.c_void_p))
+
+
+def gather_rows(rows: np.ndarray, lens: np.ndarray, stride: int) -> bytes:
+    """Concatenate the first ``lens[i]`` bytes of each fixed-stride row —
+    the inverse of :func:`scatter_rows` (encode-side frame extraction).
+    ``rows`` is a contiguous (B, stride) uint8 matrix.  Caller must have
+    checked native_available()."""
+    lib = get_lib()
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    total = int(lens64.clip(max=stride).clip(min=0).sum())
+    out = np.empty(total, np.uint8)
+    n = int(lib.airs_gather_rows(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        lens64.ctypes.data_as(ctypes.c_void_p), lens64.size, stride,
+        out.ctypes.data_as(ctypes.c_void_p)))
+    return out[:n].tobytes()
+
+
+def stage_parse(buf: np.ndarray, lens: np.ndarray, n_samples: int):
+    """Batched header parse + validation for the staged decode tiers.
+
+    One C pass over the (B, stride) staged byte matrix; returns the
+    header columns ``(prep, enc, cs, seq, g, outlier, csize, stored)``
+    on success or ``(fail_rank, fail_block)`` ints on validation failure
+    (check list and order identical to the numpy path in
+    models/stream.BatchDecompressor._stage_from_buf).  Caller must have
+    checked native_available().
+    """
+    lib = get_lib()
+    B, stride = buf.shape
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    prep = np.empty(B, np.int32)
+    enc = np.empty(B, np.int32)
+    cs = np.empty(B, np.int32)
+    seq = np.empty(B, np.int32)
+    g = np.empty(B, np.uint32)
+    outlier = np.empty(B, np.uint32)
+    csize = np.empty(B, np.int64)
+    stored = np.empty(B, np.uint32)
+    fail_block = np.zeros(1, np.int64)
+    vp = ctypes.c_void_p
+    rc = int(lib.airs_stage_parse(
+        buf.ctypes.data_as(vp), lens64.ctypes.data_as(vp), B, stride,
+        n_samples, prep.ctypes.data_as(vp), enc.ctypes.data_as(vp),
+        cs.ctypes.data_as(vp), seq.ctypes.data_as(vp),
+        g.ctypes.data_as(vp), outlier.ctypes.data_as(vp),
+        csize.ctypes.data_as(vp), stored.ctypes.data_as(vp),
+        fail_block.ctypes.data_as(vp)))
+    if rc:
+        return rc - 1, int(fail_block[0])
+    return prep, enc, cs, seq, g, outlier, csize, stored
 
 
 def checksum_u16(samples_u16: np.ndarray, seed: int) -> int:

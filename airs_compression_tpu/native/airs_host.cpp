@@ -304,31 +304,133 @@ uint64_t airs_decode_mapped(const uint8_t* src, uint64_t src_bits,
     return br.bitpos;
 }
 
-// Scatter a joined byte stream into fixed-stride zero-padded rows
-// (the batch decode tier's frame staging: rows are whole frames; the
-// per-row Python copy loop was a measurable share of wrapper decode).
+// Scatter a joined byte stream into fixed-stride rows and zero-fill each
+// row tail, so the (B, stride) buffer needs no prior memset (the batch
+// decode tier's frame staging: rows are whole frames; the per-row Python
+// copy loop — and later the full-buffer np.zeros — were measurable
+// shares of wrapper decode staging).
 void airs_scatter_rows(const uint8_t* joined, const int64_t* lens,
                        int64_t b, int64_t stride, uint8_t* out) {
     const uint8_t* p = joined;
     for (int64_t i = 0; i < b; ++i) {
         int64_t len = lens[i];
         int64_t take = len > stride ? stride : len;
-        if (take > 0) std::memcpy(out + i * stride, p, (size_t)take);
+        if (take < 0) take = 0;
+        uint8_t* row = out + i * stride;
+        if (take > 0) std::memcpy(row, p, (size_t)take);
+        if (take < stride) std::memset(row + take, 0, (size_t)(stride - take));
         p += len;
     }
 }
 
 // Same, with explicit per-row source offsets into ``src`` — the
 // concatenated-stream (file) decode path stages blocks straight from
-// the stream buffer without materializing per-block slices.
+// the stream buffer without materializing per-block slices (and without
+// the host-side join, making it the cheapest staging entry).
 void airs_scatter_rows_at(const uint8_t* src, const int64_t* offs,
                           const int64_t* lens, int64_t b, int64_t stride,
                           uint8_t* out) {
     for (int64_t i = 0; i < b; ++i) {
         int64_t take = lens[i] > stride ? stride : lens[i];
-        if (take > 0) std::memcpy(out + i * stride, src + offs[i],
-                                  (size_t)take);
+        if (take < 0) take = 0;
+        uint8_t* row = out + i * stride;
+        if (take > 0) std::memcpy(row, src + offs[i], (size_t)take);
+        if (take < stride) std::memset(row + take, 0, (size_t)(stride - take));
     }
+}
+
+// Inverse of airs_scatter_rows: gather the first lens[i] bytes of each
+// fixed-stride row into one contiguous stream (the encode wrapper's
+// frame-extraction hot path; rows are complete big-endian frames).
+// Returns the number of bytes written.
+int64_t airs_gather_rows(const uint8_t* rows, const int64_t* lens, int64_t b,
+                         int64_t stride, uint8_t* out) {
+    uint8_t* p = out;
+    for (int64_t i = 0; i < b; ++i) {
+        int64_t take = lens[i] > stride ? stride : lens[i];
+        if (take > 0) {
+            std::memcpy(p, rows + i * stride, (size_t)take);
+            p += take;
+        }
+    }
+    return (int64_t)(p - out);
+}
+
+// --------------------------------------------------------------------------
+// Batched header parse + validation for the staged decode tiers.
+//
+// One pass over B staged frame rows replaces the wrapper's vectorized-
+// numpy parse/validate/trailer block (which was the dominant staging
+// cost at B=1024: ~30 numpy kernel launches over tiny columns).  Field
+// offsets per the AIRSPACE header layout (reference lib/cmp_header.h:
+// 26-62, lib/common/header.c:89-134); the check list and its order are
+// EXACTLY models/stream.BatchDecompressor._stage_from_buf's: the first
+// row with any failure reports its own first failing check.
+//
+// Returns 0 on success; otherwise (failing_check_rank + 1), with
+// *fail_block set to the offending row.
+// --------------------------------------------------------------------------
+
+static inline uint32_t be16(const uint8_t* p) {
+    return ((uint32_t)p[0] << 8) | p[1];
+}
+
+static inline uint32_t be24(const uint8_t* p) {
+    return ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+}
+
+int32_t airs_stage_parse(const uint8_t* buf, const int64_t* lens, int64_t b,
+                         int64_t stride, int64_t n_samples,
+                         int32_t* prep, int32_t* enc, int32_t* cs,
+                         int32_t* seq, uint32_t* g, uint32_t* outlier,
+                         int64_t* csize, uint32_t* stored,
+                         int64_t* fail_block) {
+    for (int64_t i = 0; i < b; ++i) {
+        const uint8_t* h = buf + i * stride;
+        int64_t len = lens[i];
+        uint32_t method = h[15];
+        int32_t pp = (method >> 4) & 0xF;
+        int32_t et = method & 0x7;
+        int ext = (pp != 0) || (et != 0);
+        int64_t cz = (int64_t)be24(h + 2);
+        uint32_t gp = ext ? be16(h + 17) : 0;
+        int rank = -1;
+        if (len < 16) rank = 0;
+        else if (ext && len < 22) rank = 1;
+        else if (len < cz) rank = 2;
+        else if ((int64_t)be24(h + 5) != 2 * n_samples) rank = 3;
+        else if (pp > 3 || et > 2) rank = 4;
+        else if (et != 0 && !(1 <= gp && gp <= 0xFFFF)) rank = 5;
+        else if (pp == 3 && h[14] == 0) rank = 6;
+        if (rank >= 0) {
+            *fail_block = i;
+            return rank + 1;
+        }
+        prep[i] = pp;
+        enc[i] = et;
+        cs[i] = (method >> 3) & 1;
+        seq[i] = h[14];
+        g[i] = gp;
+        outlier[i] = ext ? be24(h + 19) : 0;
+        csize[i] = cz;
+        if (cs[i]) {
+            // trailing BE u32 at csize - 4; per-byte indices clamped to
+            // [0, stride) exactly like the numpy path's np.clip (a tiny
+            // csize passes the checks above and is rejected later by the
+            // decode end-position guard)
+            uint32_t v = 0;
+            for (int k = 0; k < 4; ++k) {
+                int64_t idx = cz - 4 + k;
+                if (idx < 0) idx = 0;
+                if (idx >= stride) idx = stride - 1;
+                v = (v << 8) | h[idx];
+            }
+            stored[i] = v;
+        } else {
+            stored[i] = 0;
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

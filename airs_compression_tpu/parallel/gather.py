@@ -22,18 +22,30 @@ import jax
 __all__ = ["assemble_stream", "allgather_sizes", "StreamManifest"]
 
 
-def assemble_stream(words, sizes) -> bytes:
+def assemble_stream(words, sizes, swapped: bool = False) -> bytes:
     """Concatenate per-block frames from device output, in block order.
 
     ``words``: (B, W) uint32 device/host array (big-endian word streams),
     ``sizes``: (B,) actual byte sizes.  Returns the contiguous stream.
+    The extraction is one native C row gather (with a pure-numpy
+    fallback) instead of a per-block Python slice loop; pass
+    ``swapped=True`` when the words were already byte-swapped on device
+    (models/stream.bswap32) to skip the host byteswap pass entirely.
     """
-    words_np = np.asarray(words)
+    import sys
+
+    words_np = np.ascontiguousarray(words)
     sizes_np = np.asarray(sizes)
-    be = words_np.astype(">u4")
+    if not swapped and sys.byteorder == "little":
+        words_np = words_np.byteswap()
+    rows = words_np.view(np.uint8).reshape(words_np.shape[0], -1)
+    from .. import native
+
+    if native.native_available():
+        return native.gather_rows(rows, sizes_np, rows.shape[1])
     out = bytearray()
-    for b in range(words_np.shape[0]):
-        out += be[b].tobytes()[: int(sizes_np[b])]
+    for b in range(rows.shape[0]):
+        out += rows[b, : int(sizes_np[b])].tobytes()
     return bytes(out)
 
 
