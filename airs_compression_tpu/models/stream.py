@@ -24,6 +24,8 @@ batch under both pass configs and selecting per block.
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
+
 import numpy as np
 
 import jax
@@ -221,10 +223,8 @@ class BatchCompressor:
 
         if all_primary or self.secondary_cfg is None:
             words, sizes, fell_back = run(self.primary_cfg)
-            used_cfg_rate = self.primary_cfg
         elif all_secondary:
             words, sizes, fell_back = run(self.secondary_cfg)
-            used_cfg_rate = self.secondary_cfg
         else:
             w_p, s_p, f_p = run(self.primary_cfg)
             w_s, s_s, f_s = run(self.secondary_cfg)
@@ -232,7 +232,6 @@ class BatchCompressor:
             words = jnp.where(pm[:, None], w_p, w_s)
             sizes = jnp.where(pm, s_p, s_s)
             fell_back = jnp.where(pm, f_p, f_s)
-            used_cfg_rate = self.primary_cfg
 
         # model transition (only meaningful when the chain keeps a model)
         if self.params.model_is_needed():
@@ -328,9 +327,6 @@ class BatchCompressor:
         self.metrics.record(2 * self.batch * self.n_samples, len(stream),
                             _time.perf_counter() - _t0)
         return stream, sizes_np
-
-
-import dataclasses as _dataclasses
 
 
 @jax.jit

@@ -322,8 +322,6 @@ def _assemble_frames(cfg: PassConfig, payload, payload_bits, N: int, seq,
                         enc_param_dyn, outlier_dyn)
     hdr_full_words = cfg.hdr_bits // 32      # 4 (basic) or 5 (ext)
     hdr_rem = cfg.hdr_bits % 32              # 0 or 16
-
-    Wp = payload.shape[-1]
     if hdr_rem == 0:
         # header is word-aligned: simple concatenation
         body = [w[..., None] for w in hdr] + [payload]

@@ -286,3 +286,57 @@ class TestAdaptivePipeline:
             dec, hdrs = decompress(chains[b])
             np.testing.assert_array_equal(dec, np.concatenate(origs[b]))
             assert [h.sequence_number for h in hdrs] == [0, 1, 2, 3]
+
+
+class TestFastSelection:
+    """The windowed fast path must pick an equally-optimal candidate."""
+
+    def _corpora(self):
+        rng = np.random.default_rng(99)
+        blocks = [rng.normal(0, s, 1024)
+                  for s in (0.3, 1, 4, 15, 60, 250, 1000, 4000)]
+        blocks.append(np.zeros(1024))
+        blocks.append(rng.standard_t(2, 1024) * 40)
+        blocks.append(rng.integers(-32768, 32767, 1024).astype(float))
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            blocks.append(r.normal(0, r.uniform(0.1, 5000), 1024))
+            blocks.append(r.standard_t(2, 1024) * r.uniform(1, 500))
+        return jnp.asarray(np.stack(
+            [np.clip(b, -32768, 32767) for b in blocks]).astype(np.int32))
+
+    def test_fast_zero_cost_equals_exact(self, monkeypatch):
+        res = self._corpora()
+        monkeypatch.setenv("AIRS_ADAPTIVE_SELECT", "exact")
+        _, bits_exact = adapt.select_golomb_zero(res)
+        monkeypatch.setenv("AIRS_ADAPTIVE_SELECT", "fast")
+        _, bits_fast = adapt.select_golomb_zero(res)
+        np.testing.assert_array_equal(np.asarray(bits_fast),
+                                      np.asarray(bits_exact))
+
+    @pytest.mark.parametrize("outlier", [30, 60, 1000])
+    def test_fast_multi_cost_equals_exact(self, monkeypatch, outlier):
+        res = self._corpora()
+        monkeypatch.setenv("AIRS_ADAPTIVE_SELECT", "exact")
+        _, _, bits_exact = adapt.select_golomb_multi(res, outlier)
+        monkeypatch.setenv("AIRS_ADAPTIVE_SELECT", "fast")
+        _, _, bits_fast = adapt.select_golomb_multi(res, outlier)
+        np.testing.assert_array_equal(np.asarray(bits_fast),
+                                      np.asarray(bits_exact))
+
+    def test_dynamic_length_model_matches_static(self):
+        """code_lengths_dynamic(_multi) == code_lengths_for(_multi) at
+        every ladder parameter (the fast path's cost model is the exact
+        one, evaluated with traced parameters)."""
+        res = self._corpora()[:4]
+        mapped = adapt.golomb.zigzag(res)
+        for g in adapt.DEFAULT_LADDER:
+            garr = jnp.full((res.shape[0],), g, jnp.int32)
+            np.testing.assert_array_equal(
+                np.asarray(adapt.code_lengths_dynamic(mapped, garr)),
+                np.asarray(adapt.code_lengths_for(mapped, g)), err_msg=str(g))
+            np.testing.assert_array_equal(
+                np.asarray(adapt.code_lengths_dynamic_multi(mapped, garr,
+                                                            60)),
+                np.asarray(adapt.code_lengths_for_multi(mapped, g, 60)),
+                err_msg=f"multi {g}")

@@ -93,8 +93,8 @@ class TestCompress:
 
     def test_multi_file_concat_output(self, workdir):
         a, b = workdir / "a.dat", workdir / "b.dat"
-        da = _write_be16(a, [1, 2, 3, 4])
-        db = _write_be16(b, [5, 6, 7, 8])
+        _write_be16(a, [1, 2, 3, 4])
+        _write_be16(b, [5, 6, 7, 8])
         out = workdir / "both.air"
         r = run_cli(["-c", str(a), str(b), "-o", str(out)])
         # reference semantics: with -o NAME all outputs go to NAME; ours

@@ -528,3 +528,139 @@ def test_stage_frames_at_matches_list_staging():
 
     with pytest.raises(CmpError):
         bd.stage_frames_at(stream, offs + 10_000, lens)
+
+
+def test_native_staging_matches_numpy_staging():
+    """The one-pass C stage parser (native.stage_parse) and the numpy
+    check matrix produce identical staged columns AND identical errors
+    (same code, same failing block, same first-failing check) for every
+    validation rank."""
+    from airs_compression_tpu import native
+    from airs_compression_tpu.format.errors import CmpError
+
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3, checksum_enabled=True)
+    B, N = 6, 128
+    rng = np.random.default_rng(77)
+    frames = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    outs = list(BatchCompressor(params, B, N).compress_frames(frames))
+    bd = BatchDecompressor(params, B, N)
+
+    def numpy_stage(fs):
+        lens = np.fromiter((len(f) for f in fs), np.int64, count=B)
+        n_words, stride = bd._staging_geometry(lens)
+        buf = np.zeros((B, stride), np.uint8)
+        for b, f in enumerate(fs):
+            buf[b, : lens[b]] = np.frombuffer(f, np.uint8)
+        return bd._stage_from_buf(buf, lens, n_words)
+
+    st_c, st_np = bd.stage_frames(outs), numpy_stage(outs)
+    for field in ("prep", "enc", "cs", "seq", "g", "outlier", "csize",
+                  "stored_csum"):
+        np.testing.assert_array_equal(getattr(st_c, field),
+                                      getattr(st_np, field), err_msg=field)
+        assert getattr(st_c, field).dtype == getattr(st_np, field).dtype
+    np.testing.assert_array_equal(st_c.words, st_np.words)
+
+    def mutate(idx, fn):
+        fs = list(outs)
+        b = bytearray(fs[idx])
+        fn(b)
+        fs[idx] = bytes(b)
+        return fs
+
+    def err(fn):
+        try:
+            fn()
+            return None
+        except CmpError as e:
+            return (e.code, str(e))
+
+    cases = [
+        ("truncated header", 1, lambda b: b.__init__(b[:8])),
+        ("truncated extension", 2, lambda b: b.__init__(b[:18])),
+        ("csize beyond frame", 3,
+         lambda b: b.__setitem__(slice(2, 5), b"\xff\xff\xff")),
+        ("wrong original size", 4, lambda b: b.__setitem__(6, 0x77)),
+        ("unknown method", 5, lambda b: b.__setitem__(15, 0xF7)),
+        ("bad golomb param", 0,
+         lambda b: b.__setitem__(slice(17, 19), b"\x00\x00")),
+        ("MODEL at seq 0", 2,
+         lambda b: b.__setitem__(15, (3 << 4) | (b[15] & 0xF))),
+    ]
+    for name, idx, fn in cases:
+        fs = mutate(idx, fn)
+        e_c = err(lambda: bd.stage_frames(fs))
+        e_np = err(lambda: numpy_stage(fs))
+        assert e_c == e_np and e_c is not None, (name, e_c, e_np)
+
+
+def test_decompress_stream_matches_sequential():
+    """The pipelined generator yields exactly what per-batch
+    decompress_frames returns, including MODEL-chain batches whose
+    finishes are deferred past the next batch's staging."""
+    params = CmpParams(
+        primary_preprocessing=Preprocessing.DIFF,
+        primary_encoder_type=EncoderType.GOLOMB_ZERO,
+        primary_encoder_param=3,
+        secondary_iterations=3,
+        secondary_preprocessing=Preprocessing.MODEL,
+        secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+        secondary_encoder_param=3, model_rate=8, checksum_enabled=True)
+    B, N, K = 3, 160, 4
+    rng = np.random.default_rng(52)
+    bc = BatchCompressor(params, B, N)
+    batches, origs = [], []
+    base = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+            & 0xFFFF).astype(np.uint16)
+    for k in range(K):
+        f = ((base.astype(np.int64) + rng.integers(-2, 3, (B, N)))
+             & 0xFFFF).astype(np.uint16)
+        batches.append(bc.compress_frames(f))
+        origs.append(f)
+    outs = list(BatchDecompressor(params, B, N).decompress_stream(
+        iter(batches), depth=2))
+    assert len(outs) == K
+    for k in range(K):
+        np.testing.assert_array_equal(outs[k], origs[k], err_msg=f"batch {k}")
+    # coalescing is refused for stateful (MODEL) chains
+    from airs_compression_tpu.format.errors import CmpError
+
+    with pytest.raises(CmpError):
+        list(BatchDecompressor(params, B, N).decompress_stream(
+            iter(batches), coalesce=True))
+
+
+def test_decompress_stream_coalesced_pairs():
+    """Coalesced pair launches (decode_staged_multi) decode identically
+    to per-batch launches, checksums verified, odd tail handled."""
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3, checksum_enabled=True)
+    B, N, K = 4, 160, 5  # odd batch count: last launch is un-coalesced
+    rng = np.random.default_rng(53)
+    bc = BatchCompressor(params, B, N)
+    batches, origs = [], []
+    for _ in range(K):
+        f = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+             & 0xFFFF).astype(np.uint16)
+        batches.append(bc.compress_frames(f))
+        origs.append(f)
+    bd = BatchDecompressor(params, B, N)
+    outs = list(bd.decompress_stream(iter(batches), coalesce=True))
+    assert len(outs) == K
+    for k in range(K):
+        np.testing.assert_array_equal(outs[k], origs[k], err_msg=f"batch {k}")
+    # a corrupt checksum inside a coalesced pair still raises
+    from airs_compression_tpu.format.errors import CmpError
+
+    bad = [bytearray(f) for f in batches[1]]
+    bad[2][-1] ^= 0xFF
+    batches[1] = [bytes(b) for b in bad]
+    with pytest.raises(CmpError):
+        list(BatchDecompressor(params, B, N).decompress_stream(
+            iter(batches), coalesce=True))

@@ -329,3 +329,69 @@ class TestDeviceDtypes:
                                cmp_type=CmpType.I16_IN_I32)
         dec = bd.decompress_frames(outs)
         np.testing.assert_array_equal(dec.view(np.int16), fr16)
+
+
+def test_compress_frames_packed_matches_list():
+    """compress_frames_packed (native row-gather stream extraction) emits
+    exactly the concatenation of compress_frames' per-frame bytes, with
+    identical chain-state evolution — including the fallback identifier
+    patch applied inside the packed stream."""
+    import dataclasses
+
+    from airs_compression_tpu.engine.context import set_timestamp_func
+    from airs_compression_tpu.models.stream import BatchCompressor
+
+    params = dataclasses.replace(
+        CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                  primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                  primary_encoder_param=1, checksum_enabled=True),
+        uncompressed_fallback_enabled=True)
+    B, N, K = 5, 192, 3
+    rng = np.random.default_rng(60)
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        bc_l = BatchCompressor(params, B, N)
+        bc_p = BatchCompressor(params, B, N)
+        for k in range(K):
+            frames = ((1100 + rng.normal(0, 4, (B, N))).astype(np.int64)
+                      & 0xFFFF).astype(np.uint16)
+            if k == 1:  # force fallbacks mid-chain
+                frames[::2] = rng.integers(0, 1 << 16, frames[::2].shape,
+                                           dtype=np.uint16)
+            outs = bc_l.compress_frames(frames)
+            stream, sizes = bc_p.compress_frames_packed(frames)
+            assert stream == b"".join(outs), f"round {k}"
+            assert list(sizes) == [len(o) for o in outs]
+            np.testing.assert_array_equal(bc_l.seq, bc_p.seq)
+            np.testing.assert_array_equal(bc_l.identifiers,
+                                          bc_p.identifiers)
+    finally:
+        set_timestamp_func(None)
+
+
+def test_bulk_identifier_draws_match_sequential():
+    """_new_identifiers(k) equals k _new_identifier() calls for both the
+    internal counter and a custom timestamp source."""
+    from airs_compression_tpu.engine import context as ctx
+
+    # custom source: must be invoked exactly k times, in order
+    calls = []
+
+    def stamp():
+        calls.append(len(calls))
+        return (len(calls), len(calls) * 3)
+
+    ctx.set_timestamp_func(stamp)
+    try:
+        bulk = ctx._new_identifiers(4)
+    finally:
+        ctx.set_timestamp_func(None)
+    assert len(calls) == 4
+    expect = [((c + 1) << 16 | ((c + 1) * 3 & 0xFFFF)) & ((1 << 48) - 1)
+              for c in range(4)]
+    assert list(bulk) == expect
+    # internal monotonic counter: bulk draw == sequential draws
+    a = ctx._new_identifiers(3)
+    b = [ctx._new_identifier() for _ in range(3)]
+    assert list(a) == [a[0] + i for i in range(3)]
+    assert b[0] == a[-1] + 1

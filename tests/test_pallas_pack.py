@@ -186,7 +186,6 @@ def test_merge_streams_tree_matches_single_pack():
         rows(hj), rows(lj), rows(lnj), W, interpret=True)
     got_w, got_b = map(np.asarray, merge_streams_tree(w_rows, b_rows))
     assert int(got_b) == int(ref_b)
-    c = min(ref_w.shape[-1], got_w.shape[-1])
     nw = (int(ref_b) + 31) // 32
     np.testing.assert_array_equal(ref_w[:nw], got_w[:nw])
 

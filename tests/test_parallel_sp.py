@@ -394,3 +394,124 @@ class TestSidecarParallelDecode:
         bad[40] ^= 0x10  # payload corruption
         with pytest.raises(CmpError):
             decompress_long_stream(bytes(bad), side)
+
+
+class TestChunkedStreamingEncode:
+    """ChunkedLongStreamEncoder == compress_long_stream, byte for byte."""
+
+    def _mesh(self, d):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:d]), ("sp",))
+
+    @pytest.mark.parametrize("d", [1, 4])
+    @pytest.mark.parametrize("desc,kw", [
+        ("diff_zero", dict(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4)),
+        ("diff_zero_csum", dict(primary_preprocessing=Preprocessing.DIFF,
+                                primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                                primary_encoder_param=4,
+                                checksum_enabled=True)),
+        ("none_multi", dict(primary_preprocessing=Preprocessing.NONE,
+                            primary_encoder_type=EncoderType.GOLOMB_MULTI,
+                            primary_encoder_param=4,
+                            primary_encoder_outlier=30)),
+    ])
+    def test_chunked_equals_one_shot(self, d, desc, kw):
+        from airs_compression_tpu.format.params import CmpParams
+        from airs_compression_tpu.parallel.sp import (
+            ChunkedLongStreamEncoder,
+            compress_long_stream,
+        )
+
+        params = CmpParams(**kw)
+        mesh = self._mesh(d)
+        n, chunk = 8192, 2048
+        rng = np.random.default_rng(30)
+        data = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        ref = compress_long_stream(mesh, params, data, identifier=0xABCDEF)
+        enc = ChunkedLongStreamEncoder(mesh, params, n, chunk,
+                                       identifier=0xABCDEF)
+        for k in range(n // chunk):
+            enc.feed(data[k * chunk:(k + 1) * chunk])
+        assert enc.finish() == ref, desc
+
+    def test_chunked_model_secondary(self):
+        from airs_compression_tpu.format.params import CmpParams
+        from airs_compression_tpu.parallel.sp import (
+            ChunkedLongStreamEncoder,
+            compress_long_stream,
+        )
+
+        params = CmpParams(
+            primary_preprocessing=Preprocessing.DIFF,
+            primary_encoder_type=EncoderType.GOLOMB_ZERO,
+            primary_encoder_param=4, secondary_iterations=2,
+            secondary_preprocessing=Preprocessing.MODEL,
+            secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+            secondary_encoder_param=4, model_rate=8)
+        mesh = self._mesh(4)
+        n, chunk = 8192, 1024
+        rng = np.random.default_rng(31)
+        model = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+                 & 0xFFFF).astype(np.uint16).view(np.int16)
+        data = ((model.view(np.uint16).astype(np.int64)
+                 + rng.integers(-3, 4, n)) & 0xFFFF).astype(np.uint16)
+        ref = compress_long_stream(mesh, params, data, identifier=9,
+                                   sequence_number=1, model=model,
+                                   secondary=True)
+        enc = ChunkedLongStreamEncoder(mesh, params, n, chunk, identifier=9,
+                                       sequence_number=1, secondary=True)
+        for k in range(n // chunk):
+            enc.feed(data[k * chunk:(k + 1) * chunk],
+                     model[k * chunk:(k + 1) * chunk])
+        assert enc.finish() == ref
+
+    def test_chunked_clamp_overflow_restores(self):
+        """A chunk that overflows the entropy clamp is re-encoded at full
+        capacity via the deferred-commit restore — bytes unchanged."""
+        from airs_compression_tpu.format.params import CmpParams
+        from airs_compression_tpu.parallel.sp import (
+            ChunkedLongStreamEncoder,
+            compress_long_stream,
+        )
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=1)
+        mesh = self._mesh(4)
+        n, chunk = 8192, 2048
+        rng = np.random.default_rng(32)
+        data = ((1100 + rng.normal(0, 3, n)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        # chunk 1 is full-range noise: overflows g=1's clamp for certain
+        data[chunk:2 * chunk] = rng.integers(0, 1 << 16, chunk,
+                                             dtype=np.uint16)
+        ref = compress_long_stream(mesh, params, data, identifier=5)
+        enc = ChunkedLongStreamEncoder(mesh, params, n, chunk, identifier=5)
+        for k in range(n // chunk):
+            enc.feed(data[k * chunk:(k + 1) * chunk])
+        assert enc.finish() == ref
+
+    def test_chunked_rejects_iwt_and_misfeeds(self):
+        from airs_compression_tpu.format.errors import CmpError
+        from airs_compression_tpu.format.params import CmpParams
+        from airs_compression_tpu.parallel.sp import ChunkedLongStreamEncoder
+
+        mesh = self._mesh(1)
+        with pytest.raises(CmpError):
+            ChunkedLongStreamEncoder(
+                mesh, CmpParams(primary_preprocessing=Preprocessing.IWT,
+                                primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                                primary_encoder_param=4), 4096, 1024)
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                          primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                          primary_encoder_param=4)
+        enc = ChunkedLongStreamEncoder(mesh, params, 4096, 1024)
+        with pytest.raises(CmpError):
+            enc.feed(np.zeros(512, np.uint16))  # wrong chunk size
+        with pytest.raises(CmpError):
+            enc.finish()  # underfed
