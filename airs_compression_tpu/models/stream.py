@@ -740,7 +740,8 @@ class BatchDecompressor:
                 self.params.model_rate, self.cmp_type is CmpType.U16)
         return DecodedFrames(samples=samples, end_bits=end_bits, csum=csum)
 
-    def decode_staged_multi(self, sts: "list[StagedFrames]") \
+    def decode_staged_multi(self, sts: "list[StagedFrames]",
+                            words_dev: "list[jax.Array] | None" = None) \
             -> "list[DecodedFrames]":
         """Decode several staged batches in ONE device launch.
 
@@ -749,19 +750,23 @@ class BatchDecompressor:
         fully populated instead of padded per batch.  Only stateless
         streams may coalesce (MODEL preprocessing carries per-call chain
         state); the caller guarantees every staged batch belongs to this
-        decompressor's geometry.  Returns one DecodedFrames per input,
-        in order (device-resident; finish each against its own staging).
+        decompressor's geometry.  ``words_dev`` optionally reuses
+        already-uploaded word matrices (same contract as
+        :meth:`decode_staged`).  Returns one DecodedFrames per input, in
+        order (device-resident; finish each against its own staging).
         """
         if self.params.model_is_needed():
             raise CmpError(
                 CmpErrorCode.PARAMS_INVALID,
                 "coalesced decode requires stateless (non-MODEL) streams")
         if len(sts) == 1:
-            return [self.decode_staged(sts[0])]
+            return [self.decode_staged(
+                sts[0], None if words_dev is None else words_dev[0])]
         nw = max(s.n_words for s in sts)
         ws = []
-        for s in sts:
-            w = jnp.asarray(s.words)
+        for i, s in enumerate(sts):
+            w = (jnp.asarray(s.words) if words_dev is None
+                 else words_dev[i])
             if s.raw:
                 w = bswap32(w)
             if s.n_words < nw:

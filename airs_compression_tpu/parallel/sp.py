@@ -774,7 +774,14 @@ class ChunkedLongStreamEncoder:
 
     def __init__(self, mesh: Mesh, params: CmpParams, total_samples: int,
                  chunk_samples: int, identifier: int = 0,
-                 sequence_number: int = 0, secondary: bool = False):
+                 sequence_number: int = 0, secondary: bool = False,
+                 clamp: bool = True):
+        """``clamp=True`` (default) packs through the entropy-clamped
+        Pallas buffers — the cheaper device program — at the cost of one
+        deferred scalar ``ok`` readback per chunk (the commit check);
+        ``clamp=False`` packs at full capacity and the feed loop is
+        entirely sync-free (pure enqueue), which a latency-bound
+        streaming producer may prefer.  Output bytes are identical."""
         params.validate()
         self.mesh = mesh
         self.params = params
@@ -798,7 +805,7 @@ class ChunkedLongStreamEncoder:
         self._needs_model = cfg.prep == int(Preprocessing.MODEL)
         from ..ops.encode import default_cap_bits, worst_case_words
 
-        self._cap = default_cap_bits(cfg)
+        self._cap = default_cap_bits(cfg) if clamp else None
         wb = cfg.worst_bits_per_sample
         # saved-span width: the chunk's merge touches words
         # [carry//32, last_start + Wl); Wl <= shard worst words + tail
@@ -840,30 +847,48 @@ class ChunkedLongStreamEncoder:
         self._out, _saved, _s0, self._carry, self._prev, _ok = res
 
     def feed(self, chunk_u16, model_chunk=None) -> None:
-        """Feed the next ``chunk_samples`` samples (u16)."""
-        x_np = np.ascontiguousarray(np.asarray(chunk_u16, np.uint16))
-        if x_np.size != self.chunk:
-            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
-                           f"expected {self.chunk}-sample chunks")
+        """Feed the next ``chunk_samples`` samples.
+
+        Accepts host u16 arrays (uploaded here) or device-resident
+        arrays (u16-valued int32/uint32 — used zero-copy, so a producer
+        whose samples are already on device never routes them through
+        the host; with the checksum enabled the sample bytes are still
+        needed host-side for the streaming XXH32 state, costing one
+        fetch per chunk in that combination).
+        """
+        if isinstance(chunk_u16, jax.Array):
+            if chunk_u16.size != self.chunk:
+                raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                               f"expected {self.chunk}-sample chunks")
+            # sign-extend the 16-bit values like the host path's i16 view
+            v = chunk_u16.astype(jnp.int32) & 0xFFFF
+            x = ((v ^ 0x8000) - 0x8000).astype(jnp.int32)
+            x_np = None
+        else:
+            x_np = np.ascontiguousarray(np.asarray(chunk_u16, np.uint16))
+            if x_np.size != self.chunk:
+                raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                               f"expected {self.chunk}-sample chunks")
+            x = jnp.asarray(x_np.view(np.int16), jnp.int32)
         if self._fed + self.chunk > self.total:
             raise CmpError(CmpErrorCode.SRC_SIZE_WRONG, "stream overfed")
         if self._needs_model and model_chunk is None:
             raise CmpError(CmpErrorCode.PARAMS_INVALID,
                            "MODEL preprocessing requires model chunks")
         self._resolve_pending()
-        x = jnp.asarray(x_np.view(np.int16), jnp.int32)
         operands = (x,)
         if self._needs_model:
             operands += (jnp.asarray(
                 np.asarray(model_chunk, np.int16), jnp.int32),)
         pre_state = (self._carry, self._prev, self._first)
-        res = self._run(self._cap if self._cap is not None else None,
-                        self._out, *pre_state, *operands)
+        res = self._run(self._cap, self._out, *pre_state, *operands)
         self._out, saved, start0, self._carry, self._prev, ok = res
         self._first = jnp.asarray(False)
         if self._cap is not None:
             self._pending = (ok, saved, start0, pre_state, operands)
         if self._csum is not None:
+            if x_np is None:
+                x_np = np.asarray(x).astype(np.uint16)
             self._csum.update(x_np.astype(">u2").tobytes())
         self._fed += self.chunk
 

@@ -709,6 +709,89 @@ def stage_sp():
     RESULT["sp_wall_gbps"] = round(2 * n / per_w / 1e9, 3)
 
 
+def stage_sp_chunked():
+    """Streaming chunk-fed long-stream encode (round-4 verdict Weak #6):
+    ChunkedLongStreamEncoder fed 2^14-sample chunks of a 2^21-sample
+    stream with a device-resident carry.  Runs in its own pristine
+    subprocess (like stage_sp) with ONLY scalar fetches before the timed
+    loops, so the per-chunk dispatches see the fresh runtime's async
+    regime; the byte-identity gate against the one-shot frame runs LAST
+    (its large fetch degrades dispatch).  The device-resident feed
+    (sync-free clamp=False mode) gives the sustained device number; a
+    host-fed loop including the chunk uploads gives the wall number —
+    on this box that is the documented ~10 MB/s tunnel floor.
+    """
+    from jax.sharding import Mesh
+
+    from airs_compression_tpu.parallel.sp import (
+        ChunkedLongStreamEncoder,
+        compress_long_stream,
+    )
+
+    n, chunk = 1 << 21, 1 << 14
+    n_chunks = n // chunk
+    params = headline_params()
+    rng = np.random.default_rng(4)
+    data = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+            & 0xFFFF).astype(np.uint16)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+    x_dev = jnp.asarray(data.view(np.int16), jnp.int32)
+    x_chunks = x_dev.reshape(n_chunks, chunk)
+
+    def run_chunks(m):
+        e = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
+        for k in range(m):
+            e.feed(x_chunks[k])
+        return int(np.asarray(e._carry))  # scalar sync only
+
+    budget = min(max(remaining() - 300, 120), 900)
+    log(f"compiling chunked SP program (watchdog {budget:.0f}s, "
+        f"{n_chunks} x {chunk} samples)...")
+    t0 = time.time()
+    with_alarm(budget, run_chunks, 2)
+    log(f"chunked SP program compiled+ran in {time.time()-t0:.1f}s")
+
+    samples = []
+    for _ in range(3):
+        t_lo = time.time()
+        run_chunks(8)
+        t_lo = time.time() - t_lo
+        t_hi = time.time()
+        run_chunks(n_chunks)
+        t_hi = time.time() - t_hi
+        samples.append(max((t_hi - t_lo) / (n_chunks - 8), 1e-9))
+        log(f"  sp-chunked lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+            f"{samples[-1]*1e3:.3f} ms/chunk")
+    per = sorted(samples)[1]
+    sus = 2 * chunk / per / 1e9
+
+    # host-fed wall: uploads in the loop (tunnel floor on this box)
+    host_chunks = data.reshape(n_chunks, chunk)
+    e = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
+    t0 = time.time()
+    for k in range(16):
+        e.feed(host_chunks[k])
+    int(np.asarray(e._carry))
+    per_w = (time.time() - t0) / 16
+    wall = 2 * chunk / per_w / 1e9
+
+    # gate LAST (large fetches): full chunked stream == one-shot frame
+    enc = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
+    for k in range(n_chunks):
+        enc.feed(x_chunks[k])
+    chunked_frame = enc.finish()
+    ref = compress_long_stream(mesh, params, data)
+    if chunked_frame[14:] != ref[14:] or chunked_frame[:8] != ref[:8]:
+        log("CORRECTNESS FAILURE: chunked SP frame != one-shot frame")
+        return
+    log("correctness gate: chunked SP stream byte-identical to one-shot")
+    log(f"SP chunked sustained: {per*1e3:.3f} ms/chunk -> {sus:.2f} GB/s "
+        f"(host-fed wall {wall:.3f} GB/s incl. tunnel uploads)")
+    RESULT["sp_sustained_gbps"] = round(sus, 3)
+    RESULT["sp_sustained_wall_gbps"] = round(wall, 3)
+    RESULT["sp_chunk_samples"] = chunk
+
+
 def _host_encode_raw(params_per_frame, frames_u):
     """Host-encode unique frames -> list of frame bytes."""
     from airs_compression_tpu.engine.context import CmpContext, set_timestamp_func
@@ -852,6 +935,56 @@ def stage_decode_b512():
     if max(cands) > 0:
         RESULT["decode_b512_gbps"] = max(cands)
 
+    # coalesced pair (round-4 verdict Weak #5b): two B=512 batches in ONE
+    # kernel launch via decode_staged_multi — the default behavior of the
+    # decompress_stream wrapper at sub-tile batch sizes.  Timed as the
+    # real wrapper dispatch loop (pre-uploaded word pools; the final
+    # fetch is the honest sync), per-512-batch cost halves the launch.
+    try:
+        from airs_compression_tpu.models.stream import BatchDecompressor
+
+        raws = _host_encode_raw([params] * (B // REP), frames_u)
+        frame_list = list(raws) * REP
+        bd = BatchDecompressor(params, B, N)
+        st1 = bd.stage_frames(frame_list)
+        st2 = bd.stage_frames(frame_list)
+        pool = [jnp.asarray(st1.words), jnp.asarray(st2.words)]
+        # gate: coalesced decode round-trips both batches
+        decs = bd.decode_staged_multi([st1, st2], words_dev=pool)
+        for st_i, dec_i in zip((st1, st2), decs):
+            got = bd.finish(st_i, dec_i)
+            if not np.array_equal(got.view(np.int16).astype(np.int32),
+                                  x_ref):
+                log("CORRECTNESS FAILURE: coalesced b512 decode mismatch")
+                return
+        log("correctness gate: coalesced b512 pair round-trips")
+
+        def launch(m):
+            dec = None
+            for _ in range(m):
+                dec = bd.decode_staged_multi([st1, st2], words_dev=pool)
+            return np.asarray(dec[-1].end_bits)
+
+        launch(2)
+        samples = []
+        for _ in range(3):
+            t_lo = time.time()
+            launch(2)
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            launch(18)
+            t_hi = time.time() - t_hi
+            samples.append(max((t_hi - t_lo) / 16, 1e-9))
+            log(f"  b512-coalesced lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms"
+                f" -> {samples[-1]*1e3:.3f} ms/launch (2 batches)")
+        per_launch = sorted(samples)[1]
+        g_c = 2 * B * N * 2 / per_launch / 1e9
+        log(f"b512 coalesced decode: {per_launch*1e3:.3f} ms per 2-batch "
+            f"launch -> {g_c:.2f} GB/s per byte")
+        RESULT["decode_b512_coalesced_gbps"] = round(g_c, 3)
+    except Exception as e:
+        log(f"b512 coalesced stage failed: {type(e).__name__} {e}")
+
 
 def stage_decode_adaptive():
     """Header-driven decode with per-lane Golomb parameters (adaptive
@@ -887,9 +1020,14 @@ def stage_decode_adaptive():
 def stage_wrapper_decode():
     """Public decode wrapper measured end-to-end (round-3 verdict Weak
     #7): what a user of BatchDecompressor.decompress_frames gets, split
-    into its host phase (stage_frames: parse + validate + staging, pure
-    numpy) and its device phase (group decode + batched XXH32 verify,
-    the exact graph decode_staged dispatches), composed into one number.
+    into its host phase (stage_frames: C staging + one-pass C header
+    parse/validate) and its device phase (group decode + batched XXH32
+    verify, the exact graph decode_staged dispatches), composed into one
+    number — PLUS the sustained pipelined number (round-4 verdict Weak
+    #1): decompress_stream's steady state, where batch k+1's host
+    staging overlaps batch k's device decode, measured as the
+    two-trip-differenced wall of the real stage->dispatch loop over 16
+    consecutive batches with one final fetch as the honest sync.
     Tunnel transfers and per-call RTT are excluded (channel artifacts of
     this box — BASELINE.md documents the link); the checksum IS verified
     in the gate and computed in the timed device graph.
@@ -909,24 +1047,38 @@ def stage_wrapper_decode():
     x_ref = np.tile(frames_u, (REP, 1)).view(np.int16).astype(np.int32)
 
     bd = BatchDecompressor(params, B, N)
-    # gate: the full wrapper (incl. device checksum verification)
+    # gate 1: the full wrapper (incl. device checksum verification)
     budget = min(max(remaining() - 240, 120), 900)
     out = with_alarm(budget, bd.decompress_frames, frames)
     if not np.array_equal(out.view(np.int16).astype(np.int32), x_ref):
         log("CORRECTNESS FAILURE: wrapper decode mismatch")
         return
-    log("correctness gate: wrapper decode round-trips (checksums "
-        "verified on device)")
+    # gate 2: the pipelined generator over 4 batches (finishes deferred)
+    outs = list(bd.decompress_stream(iter([frames] * 4), depth=2))
+    if not all(np.array_equal(o.view(np.int16).astype(np.int32), x_ref)
+               for o in outs):
+        log("CORRECTNESS FAILURE: decompress_stream mismatch")
+        return
+    log("correctness gate: wrapper decode + pipelined stream round-trip "
+        "(checksums verified on device)")
 
-    # host phase: staging cost per call (pure numpy, no device).  MIN of
+    # host phase: staging cost per call (host only, no device).  MIN of
     # several reps: the concurrent CPU scaling subprocesses contend for
     # this host's 2 cores and inflate medians ~3x
-    ts = []
+    stream = b"".join(frames)
+    lens = np.fromiter((len(f) for f in frames), np.int64, count=B)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ts, ts_at = [], []
     for _ in range(9):
         t0 = time.time()
         st = bd.stage_frames(frames)
         ts.append(time.time() - t0)
+        t0 = time.time()
+        st = bd.stage_frames_at(stream, offs, lens)
+        ts_at.append(time.time() - t0)
     t_stage = min(ts)
+    t_stage_at = min(ts_at)
+    RESULT["wrapper_stage_stream_ms"] = round(t_stage_at * 1e3, 3)
 
     # device phase: the decode_staged graph (byte swap of the raw-staged
     # words + decode + checksum) in one dynamic-trip-count loop (same
@@ -972,6 +1124,155 @@ def stage_wrapper_decode():
     RESULT["wrapper_decode_gbps"] = round(gbps, 3)
     RESULT["wrapper_stage_ms"] = round(t_stage * 1e3, 3)
     RESULT["wrapper_device_ms"] = round(t_dev * 1e3, 3)
+
+    # sustained pipelined decode: the REAL per-batch loop body the
+    # decompress_stream driver runs — host staging from the contiguous
+    # stream, then the asynchronously dispatched device decode (byte
+    # swap + group decode + device checksum, via decode_staged with a
+    # pre-uploaded word pool: the upload is the tunnel artifact already
+    # excluded above).  Per-batch steady state via two-trip differencing
+    # with a final small fetch (honest in both dispatch regimes).
+    st0 = bd.stage_frames_at(stream, offs, lens)
+    words_pool = jnp.asarray(st0.words)
+
+    def pipeline(m):
+        dec = None
+        for _ in range(m):
+            st_k = bd.stage_frames_at(stream, offs, lens)
+            dec = bd.decode_staged(st_k, words_dev=words_pool)
+        return np.asarray(dec.end_bits)
+
+    pipeline(2)  # warm
+    samples = []
+    for _ in range(3):
+        t_lo = time.time()
+        pipeline(2)
+        t_lo = time.time() - t_lo
+        t_hi = time.time()
+        pipeline(18)
+        t_hi = time.time() - t_hi
+        samples.append(max((t_hi - t_lo) / 16, 1e-9))
+        log(f"  sustained lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+            f"{samples[-1]*1e3:.3f} ms/batch")
+    per_b = sorted(samples)[1]
+    sus = gb / per_b
+    log(f"wrapper decode sustained (pipelined, 16 batches): "
+        f"{per_b*1e3:.3f} ms/batch -> {sus:.2f} GB/s")
+    RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+
+
+def stage_wrapper_encode():
+    """Public ENCODE wrapper end-to-end (round-4 verdict Weak #2): what
+    BatchCompressor.compress_frames_packed delivers.  Host phase = the
+    packed-stream extraction on the fetched byte rows (native C row
+    gather + chain bookkeeping); device phase = the encode graph
+    INCLUDING the on-device byteswap that replaced the host
+    astype('>u4') pass.  The tunnel fetch of the word matrix is excluded
+    (channel artifact, same rule as the decode wrapper); the byte-
+    identity gate runs against the host codec.
+    """
+    from airs_compression_tpu import native
+    from airs_compression_tpu.engine.context import (
+        CmpContext,
+        set_timestamp_func,
+    )
+    from airs_compression_tpu.models.stream import BatchCompressor, bswap32
+    from airs_compression_tpu.ops.encode import (
+        clamped_frame_words,
+        default_cap_bits,
+    )
+
+    B, N = 512, 8192
+    params = headline_params()
+    cfg = make_pass_config(params, False, True)
+    frames = make_frames(B, N, seed=11)
+
+    # gate: packed wrapper output byte-identical to the host codec
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        bc = BatchCompressor(params, B, N)
+        budget = min(max(remaining() - 240, 120), 900)
+        stream, sizes = with_alarm(budget, bc.compress_frames_packed,
+                                   frames)
+        offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        for i in range(4):
+            ref = CmpContext(params).compress_u16(frames[i])
+            if bytes(stream[offs[i]: offs[i] + sizes[i]]) != ref:
+                log("CORRECTNESS FAILURE: packed wrapper != host codec")
+                return
+    finally:
+        set_timestamp_func(None)
+    log("correctness gate: packed encode wrapper byte-identical to host "
+        "codec")
+
+    # device phase: encode graph + device byteswap, one dynamic-trip
+    # loop (same methodology as the headline stage)
+    cap = RESULT.get("pack_cap_bits", default_cap_bits(cfg))
+    n_words = clamped_frame_words(cfg, N, cap)
+    x = jnp.asarray(frames.view(np.int16), jnp.int32)
+    seq = jnp.zeros((B,), jnp.int32)
+    ids = jnp.zeros((B,), jnp.uint32)
+    csum = jnp.zeros((B,), jnp.uint32)
+
+    @jax.jit
+    def loop(x, n_iter):
+        def body(i, carry):
+            acc = carry[0]
+            x2 = x ^ (acc[:, None] & jnp.int32(1))
+            if cap is not None:
+                words, szs, ok = _encode_one_pass(
+                    cfg, x2, x2, seq, ids, ids, csum, n_words,
+                    cap_bits=cap)
+            else:
+                words, szs = _encode_one_pass(cfg, x2, x2, seq, ids, ids,
+                                              csum, n_words)
+                ok = jnp.ones((B,), bool)
+            words = bswap32(words)
+            acc2 = (jnp.sum(words, axis=-1, dtype=jnp.uint32)
+                    .astype(jnp.int32) + szs + ok.astype(jnp.int32))
+            return (acc2, words, szs, ok)
+
+        init = (jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B, n_words), jnp.uint32),
+                jnp.zeros((B,), jnp.int32),
+                jnp.ones((B,), bool))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    budget = min(max(remaining() - 240, 120), 900)
+    log(f"compiling wrapper encode loop (watchdog {budget:.0f}s)...")
+    t0 = time.time()
+    _, words_np, sizes_np, ok_np = with_alarm(
+        budget, lambda: jax.tree_util.tree_map(np.asarray, loop(x, 1)))
+    log(f"wrapper encode loop compiled+ran in {time.time()-t0:.1f}s")
+    if not ok_np.all():
+        log("wrapper encode: clamp overflowed; skipping timed point")
+        return
+    t_dev = with_alarm(min(remaining(), 150),
+                       measure_loop, loop, x, 1, 513, 3)
+
+    # host phase on the fetched swapped rows: C row gather (packed
+    # stream extraction) + the bulk identifier draw; MIN of reps
+    # (host-core contention, same rule as the decode wrapper)
+    rows = words_np.view(np.uint8).reshape(B, n_words * 4)
+    bc2 = BatchCompressor(params, B, N)
+    ts = []
+    for _ in range(9):
+        t0 = time.time()
+        if native.native_available():
+            native.gather_rows(rows, sizes_np, n_words * 4)
+        else:
+            b"".join(rows[b, : sizes_np[b]].tobytes() for b in range(B))
+        bc2._draw_ids(np.ones(B, dtype=bool))
+        ts.append(time.time() - t0)
+    t_host = min(ts)
+
+    gb = B * N * 2 / 1e9
+    gbps = gb / (t_dev + t_host)
+    log(f"wrapper encode B={B} N={N}: device {t_dev*1e3:.3f} ms + host "
+        f"{t_host*1e3:.3f} ms -> {gbps:.2f} GB/s")
+    RESULT["wrapper_encode_gbps"] = round(gbps, 3)
+    RESULT["wrapper_encode_host_ms"] = round(t_host * 1e3, 3)
+    RESULT["wrapper_encode_device_ms"] = round(t_dev * 1e3, 3)
 
 
 def stage_adaptive_encode():
@@ -1184,8 +1485,8 @@ def stage_verify_configs():
     RESULT["hw_verified_configs"] = ok
 
 
-def run_sp_subprocess():
-    """Run stage_sp in a pristine child process, BEFORE this process
+def run_sp_subprocess(flag="--sp-only", tag="sp", budget_floor=600):
+    """Run an SP stage in a pristine child process, BEFORE this process
     touches the TPU.
 
     The axon tunnel dispatches shard_map programs at ~0.1 ms only in a
@@ -1200,19 +1501,19 @@ def run_sp_subprocess():
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--sp-only"],
-            timeout=max(60, min(900, remaining() - 600)),
+            [sys.executable, os.path.abspath(__file__), flag],
+            timeout=max(60, min(900, remaining() - budget_floor)),
             capture_output=True, text=True)
         for ln in out.stderr.splitlines():
-            log(f"  [sp] {ln}")
+            log(f"  [{tag}] {ln}")
         last = [ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith("{")]
         if out.returncode == 0 and last:
             RESULT.update(_json.loads(last[-1]))
             return True
-        log(f"sp subprocess rc={out.returncode}")
+        log(f"{tag} subprocess rc={out.returncode}")
     except Exception as e:
-        log(f"sp subprocess failed: {type(e).__name__} {e}")
+        log(f"{tag} subprocess failed: {type(e).__name__} {e}")
     return False
 
 
@@ -1224,11 +1525,21 @@ def main():
             print(json.dumps({k: v for k, v in RESULT.items()
                               if k.startswith("sp_")}), flush=True)
         return
+    if "--sp-chunked-only" in sys.argv:
+        try:
+            stage_sp_chunked()
+        finally:
+            print(json.dumps({k: v for k, v in RESULT.items()
+                              if k.startswith("sp_")}), flush=True)
+        return
 
     cpu_handles = launch_cpu_stages()  # runs concurrently on host cores
     sp_ok = False
     if remaining() > 900:
         sp_ok = run_sp_subprocess()   # pristine-process SP measurement
+    if remaining() > 1200:
+        # pristine process for the streaming chunk-fed encode as well
+        run_sp_subprocess("--sp-chunked-only", "sp-chunked", 900)
     log(f"devices: {jax.devices()}  (deadline {DEADLINE_S:.0f}s, "
         f"cache {_CACHE})")
 
@@ -1254,8 +1565,9 @@ def main():
         (stage_adaptive_encode, 420),
         (stage_decode_adaptive, 420),
         (stage_decode_b512, 420),
-        # last: its host-phase number is cleanest once the CPU scaling
-        # subprocesses have drained
+        # last two: their host-phase numbers are cleanest once the CPU
+        # scaling subprocesses have drained
+        (stage_wrapper_encode, 420),
         (stage_wrapper_decode, 420),
     ]
     if not sp_ok:

@@ -496,6 +496,33 @@ class TestChunkedStreamingEncode:
             enc.feed(data[k * chunk:(k + 1) * chunk])
         assert enc.finish() == ref
 
+    def test_chunked_sync_free_and_device_feed(self):
+        """clamp=False (sync-free feeds) and device-resident chunks
+        produce the identical frame."""
+        import jax.numpy as jnp
+
+        from airs_compression_tpu.format.params import CmpParams
+        from airs_compression_tpu.parallel.sp import (
+            ChunkedLongStreamEncoder,
+            compress_long_stream,
+        )
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=4, checksum_enabled=True)
+        mesh = self._mesh(4)
+        n, chunk = 8192, 2048
+        rng = np.random.default_rng(33)
+        data = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        ref = compress_long_stream(mesh, params, data, identifier=3)
+        enc = ChunkedLongStreamEncoder(mesh, params, n, chunk,
+                                       identifier=3, clamp=False)
+        chunks_dev = jnp.asarray(data.reshape(-1, chunk).astype(np.int32))
+        for k in range(n // chunk):
+            enc.feed(chunks_dev[k])
+        assert enc.finish() == ref
+
     def test_chunked_rejects_iwt_and_misfeeds(self):
         from airs_compression_tpu.format.errors import CmpError
         from airs_compression_tpu.format.params import CmpParams
