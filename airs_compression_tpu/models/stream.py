@@ -25,6 +25,7 @@ batch under both pass configs and selecting per block.
 from __future__ import annotations
 
 import dataclasses as _dataclasses
+import functools
 
 import numpy as np
 
@@ -329,14 +330,41 @@ class BatchCompressor:
         return stream, sizes_np
 
 
-@jax.jit
-def bswap32(w: jax.Array) -> jax.Array:
-    """Byte-swap uint32 words (one fused VPU pass on device)."""
+def _bswap32_expr(w: jax.Array) -> jax.Array:
     w = w.astype(jnp.uint32)
     return ((w << jnp.uint32(24))
             | ((w & jnp.uint32(0xFF00)) << jnp.uint32(8))
             | ((w >> jnp.uint32(8)) & jnp.uint32(0xFF00))
             | (w >> jnp.uint32(24)))
+
+
+@jax.jit
+def bswap32(w: jax.Array) -> jax.Array:
+    """Byte-swap uint32 words (one fused VPU pass on device)."""
+    return _bswap32_expr(w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "swap",
+                                             "do_csum"))
+def _decode_group_fused(cfg, words, model, n_samples: int, swap: bool,
+                        do_csum: bool, g_dyn=None, outlier_dyn=None):
+    """One DISPATCH for the whole per-batch decode graph.
+
+    Byte swap + lockstep decode + device checksum composed under a
+    single jit: the wrapper used to dispatch each as its own program,
+    and per-dispatch latency — not compute — bounded the pipelined
+    decode loop (3 launches/batch at ~1.4 ms launch floor vs 0.09 ms of
+    device work on this link; real hardware pays ~3x ~50 us instead).
+    """
+    from ..ops.decode import decode_blocks_device
+    from ..ops.xxh32_device import checksum_blocks_device
+
+    if swap:
+        words = _bswap32_expr(words)
+    samples, end_bits = decode_blocks_device(
+        cfg, words, model, n_samples, g_dyn=g_dyn, outlier_dyn=outlier_dyn)
+    csum = checksum_blocks_device(samples) if do_csum else None
+    return samples, end_bits, csum
 
 
 @_dataclasses.dataclass
@@ -675,8 +703,6 @@ class BatchDecompressor:
         B = st.prep.shape[0]
         if words_dev is None:
             words_dev = jnp.asarray(st.words)
-        if st.raw:
-            words_dev = bswap32(words_dev)
 
         model = self.model
         if B != self.batch:
@@ -684,11 +710,41 @@ class BatchDecompressor:
             # stateless configs may coalesce, so a zero model is correct
             model = jnp.zeros((B, self.n_samples), jnp.int32)
 
-        # header-driven dispatch: one device pass per method group present
+        from ..ops.xxh32_device import use_device_checksum
+
+        want_csum = (self.verify_checksum and (st.cs != 0).any()
+                     and use_device_checksum())
+
+        # header-driven dispatch: one device pass per method group
+        # present.  The common lockstep case (ONE compressed group) runs
+        # byte swap + decode + checksum as a single fused dispatch.
         key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)
+        keys = np.unique(key)
+        if len(keys) == 1:
+            prep, enc, cs = (int(keys[0]) // 16, (int(keys[0]) // 2) % 8,
+                             int(keys[0]) % 2)
+            if not (prep == 0 and enc == 0):
+                cfg, g_dyn, o_dyn = self._group_cfg(prep, enc, cs, st.g,
+                                                    st.outlier)
+                samples, end_bits, csum = _decode_group_fused(
+                    cfg, words_dev, model, self.n_samples, st.raw,
+                    want_csum,
+                    None if g_dyn is None else jnp.asarray(g_dyn),
+                    None if o_dyn is None else jnp.asarray(o_dyn))
+                if self.params.model_is_needed() and B == self.batch:
+                    self.model = model_update_step(
+                        samples, model, jnp.asarray(st.seq),
+                        jnp.zeros((B,), bool),
+                        self.params.model_rate,
+                        self.cmp_type is CmpType.U16)
+                return DecodedFrames(samples=samples, end_bits=end_bits,
+                                     csum=csum)
+
+        if st.raw:
+            words_dev = bswap32(words_dev)
         samples = None
         end_bits = None
-        for k in np.unique(key):
+        for k in keys:
             mask = key == k
             prep, enc, cs = int(k) // 16, (int(k) // 2) % 8, int(k) % 2
             if prep == 0 and enc == 0:
@@ -716,17 +772,13 @@ class BatchDecompressor:
                 end_bits = jnp.where(m, e.astype(end_bits.dtype), end_bits)
 
         csum = None
-        if self.verify_checksum and (st.cs != 0).any():
-            from ..ops.xxh32_device import (
-                checksum_blocks_device,
-                use_device_checksum,
-            )
+        if want_csum:
+            from ..ops.xxh32_device import checksum_blocks_device
 
-            if use_device_checksum():
-                csum = checksum_blocks_device(samples)
-            # else: finish() verifies on host with the native xxhash
-            # fast path once the samples are fetched (the routing
-            # predicate use_device_checksum governs every tier)
+            csum = checksum_blocks_device(samples)
+        # when the device checksum is routed off, finish() verifies on
+        # host with the native xxhash fast path once the samples are
+        # fetched (use_device_checksum governs every tier)
 
         # model transition identical to the encoder's: per-block seq;
         # fallback frames carry seq 0, which reseeds the model exactly as

@@ -48,7 +48,8 @@ from . import golomb
 __all__ = ["DEFAULT_LADDER", "code_lengths_for", "select_golomb_zero",
            "encode_codewords_dynamic", "code_lengths_for_multi",
            "select_golomb_multi", "encode_codewords_dynamic_multi",
-           "code_lengths_dynamic", "code_lengths_dynamic_multi"]
+           "code_lengths_dynamic", "code_lengths_dynamic_multi",
+           "ladder_fast_div"]
 
 _U32 = jnp.uint32
 
@@ -78,6 +79,35 @@ def code_lengths_for(mapped: jax.Array, g_par: int) -> jax.Array:
     ln = jnp.where(in_g0, len0, len0 + 1 + group)
     ln = jnp.where(esc, len0 + 16, ln)
     return jnp.sum(ln.astype(jnp.int32), axis=-1)
+
+
+def ladder_fast_div(ladder: "tuple[int, ...]") -> bool:
+    """True when every ladder value is 2^s or 3*2^s (the default ladder
+    is), enabling :func:`_div_by_g` — TPUs have no integer-divide
+    hardware, so a traced-divisor ``//`` lowers to a long bit-serial
+    expansion, while ``//3`` by a STATIC constant strength-reduces to a
+    multiply.  The round-4 windowed selector was slower than the full
+    static-ladder argmin for exactly this reason."""
+    return all((g & (g - 1)) == 0 or ((g % 3 == 0)
+               and ((g // 3) & (g // 3 - 1)) == 0 and g // 3 > 0)
+               for g in ladder)
+
+
+def _div_by_g(v: jax.Array, g: jax.Array) -> jax.Array:
+    """Exact ``v // g`` for g of the form 2^s or 3*2^s (traced g).
+
+    One static //3 (strength-reduced by XLA) plus shifts and a select —
+    no traced-divisor division anywhere.
+    """
+    lg = golomb.ilog2(g)
+    is3 = (g & (g - _U32(1))) != _U32(0)
+    s = lg - is3.astype(_U32)  # 3*2^s has ilog2 = s + 1
+    return jnp.where(is3, (v // _U32(3)) >> s, v >> s)
+
+
+def _group_div(vg: jax.Array, g: jax.Array, fast_div: bool) -> jax.Array:
+    return (_div_by_g(vg, g) if fast_div
+            else vg // jnp.maximum(g, _U32(1)))
 
 
 def _select_window() -> int:
@@ -119,7 +149,8 @@ def _window_candidates(idx: jax.Array, ladder: "tuple[int, ...]", w: int):
     return jnp.asarray(ladder, jnp.int32)[cand_idx]
 
 
-def code_lengths_dynamic(mapped: jax.Array, g_par: jax.Array) -> jax.Array:
+def code_lengths_dynamic(mapped: jax.Array, g_par: jax.Array,
+                         fast_div: bool = False) -> jax.Array:
     """Per-block GOLOMB_ZERO coded bits with traced parameters.
 
     ``g_par`` is (...,) int32 — one parameter per block; the derived
@@ -140,7 +171,7 @@ def code_lengths_dynamic(mapped: jax.Array, g_par: jax.Array) -> jax.Array:
     v = jnp.where(esc, _U32(0), m + _U32(1))
     in_g0 = v < cutoff
     vg = jnp.where(in_g0, _U32(0), v - cutoff)
-    group = vg // jnp.maximum(g, _U32(1))
+    group = _group_div(vg, g, fast_div)
     ln = jnp.where(in_g0, len0, len0 + 1 + group.astype(jnp.int32))
     ln = jnp.where(esc, len0 + 16, ln)
     return jnp.sum(ln, axis=-1)
@@ -165,8 +196,9 @@ def select_golomb_zero(residuals: jax.Array,
         mu = jnp.mean(mapped.astype(jnp.float32), axis=-1)
         cand = _window_candidates(
             _nearest_ladder_index(mu, ladder), ladder, w)
-        costs = code_lengths_dynamic(mapped[..., None, :],
-                                     cand).astype(jnp.int32)
+        costs = code_lengths_dynamic(
+            mapped[..., None, :], cand,
+            fast_div=ladder_fast_div(ladder)).astype(jnp.int32)
     else:
         costs = jnp.stack([code_lengths_for(mapped, g) for g in ladder],
                           axis=-1)
@@ -214,7 +246,8 @@ def _clamped_outlier_multi(g: jax.Array, caller_outlier: int) -> jax.Array:
 
 
 def code_lengths_dynamic_multi(mapped: jax.Array, g_par: jax.Array,
-                               caller_outlier: int) -> jax.Array:
+                               caller_outlier: int,
+                               fast_div: bool = False) -> jax.Array:
     """Per-block GOLOMB_MULTI coded bits with traced parameters.
 
     Same broadcast contract as :func:`code_lengths_dynamic`; the
@@ -232,7 +265,7 @@ def code_lengths_dynamic_multi(mapped: jax.Array, g_par: jax.Array,
     gv = jnp.where(esc, outlier + level, m)
     in_g0 = gv < cutoff
     vg = jnp.where(in_g0, _U32(0), gv - cutoff)
-    group = vg // jnp.maximum(g, _U32(1))
+    group = _group_div(vg, g, fast_div)
     ln = jnp.where(in_g0, len0, len0 + 1 + group.astype(jnp.int32))
     ln = ln + jnp.where(esc, (level.astype(jnp.int32) + 1) * 2, 0)
     return jnp.sum(ln, axis=-1)
@@ -263,7 +296,8 @@ def select_golomb_multi(residuals: jax.Array, caller_outlier: int,
         cand = _window_candidates(
             _nearest_ladder_index(mu, ladder), ladder, w)
         costs = code_lengths_dynamic_multi(
-            mapped[..., None, :], cand, caller_outlier).astype(jnp.int32)
+            mapped[..., None, :], cand, caller_outlier,
+            fast_div=ladder_fast_div(ladder)).astype(jnp.int32)
         best = jnp.argmin(costs, axis=-1)
         g_sel = jnp.take_along_axis(cand, best[..., None], axis=-1)[..., 0]
         outlier_sel = _clamped_outlier_multi(
@@ -283,7 +317,8 @@ def select_golomb_multi(residuals: jax.Array, caller_outlier: int,
 
 
 def encode_codewords_dynamic_multi(residuals: jax.Array, g_par: jax.Array,
-                                   outlier: jax.Array):
+                                   outlier: jax.Array,
+                                   fast_div: bool = False):
     """GOLOMB_MULTI codewords with per-block traced parameter + outlier.
 
     Mirrors ops.golomb.encode_codewords (encoder_type=2) with traced
@@ -304,7 +339,7 @@ def encode_codewords_dynamic_multi(residuals: jax.Array, g_par: jax.Array,
     # dynamic-parameter Golomb codeword for gv (cw <= 32 bits by clamp)
     in_g0 = gv < cutoff
     vg = jnp.where(in_g0, _U32(0), gv - cutoff)
-    group = vg // jnp.maximum(g, _U32(1))
+    group = _group_div(vg, g, fast_div)
     rem = vg - group * g
     unary = jnp.where(group >= _U32(32), _U32(0xFFFFFFFF),
                       (_U32(1) << jnp.minimum(group, _U32(31))) - _U32(1))
@@ -323,7 +358,8 @@ def _ilog2_dyn(x: jax.Array) -> jax.Array:
     return golomb.ilog2(x)
 
 
-def encode_codewords_dynamic(residuals: jax.Array, g_par: jax.Array):
+def encode_codewords_dynamic(residuals: jax.Array, g_par: jax.Array,
+                             fast_div: bool = False):
     """GOLOMB_ZERO codewords with a per-block traced parameter.
 
     Like ops.golomb.encode_codewords but ``g_par`` is a (...,) int32
@@ -348,7 +384,7 @@ def encode_codewords_dynamic(residuals: jax.Array, g_par: jax.Array):
     v = jnp.where(esc, _U32(0), m + _U32(1))
     in_g0 = v < cutoff
     vg = jnp.where(in_g0, _U32(0), v - cutoff)
-    group = vg // jnp.maximum(g, _U32(1))
+    group = _group_div(vg, g, fast_div)
     rem = vg - group * g
     unary = jnp.where(group >= _U32(32), _U32(0xFFFFFFFF),
                       (_U32(1) << jnp.minimum(group, _U32(31))) - _U32(1))

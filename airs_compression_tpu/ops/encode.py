@@ -479,9 +479,11 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
     B, N = x.shape
     residuals = preprocess.preprocess_forward(
         cfg.prep, x, model if cfg.prep == int(Preprocessing.MODEL) else None)
+    fast_div = adapt.ladder_fast_div(ladder)
     if cfg.enc_type == int(EncoderType.GOLOMB_ZERO):
         g_sel, _bits = adapt.select_golomb_zero(residuals, ladder)
-        hi, lo, lens = adapt.encode_codewords_dynamic(residuals, g_sel)
+        hi, lo, lens = adapt.encode_codewords_dynamic(residuals, g_sel,
+                                                      fast_div=fast_div)
         # derived outlier for the header (same formulas as the codeword gen)
         g = g_sel.astype(_U32)
         g_log2 = golomb.ilog2(g)
@@ -493,7 +495,7 @@ def encode_blocks_adaptive(cfg: PassConfig, fallback_cfg, x: jax.Array,
         g_sel, outlier_sel, _bits = adapt.select_golomb_multi(
             residuals, cfg.raw_outlier, ladder)
         hi, lo, lens = adapt.encode_codewords_dynamic_multi(
-            residuals, g_sel, outlier_sel)
+            residuals, g_sel, outlier_sel, fast_div=fast_div)
         outlier_dyn = outlier_sel.astype(_U32)
     worst_bits = adaptive_worst_bits(cfg, ladder)
     words, sizes, ok = _finish_frames(

@@ -693,16 +693,16 @@ def _shard_encode_chunk(x_loc, model_loc, cfg, axis, D, base_bits,
 
 @functools.lru_cache(maxsize=64)
 def _sp_chunk_program(mesh: Mesh, cfg, chunk_n: int, needs_model: bool,
-                      cap_bits, span: int):
+                      cap_bits):
     """Jitted per-chunk step of the streaming long-stream encoder.
 
-    ``run(out, carry_bits, prev_last, first, x[, model]) -> (out', saved,
-    start0, carry', prev', ok)``: encodes one chunk, OR-merges its word
-    spans into the accumulating frame buffer ``out`` at the carried bit
-    offset, and returns the advanced carry.  ``saved`` is the pre-merge
-    content of the chunk's whole span (static width ``span``) so an
-    entropy-clamp overflow (ok=False, detected one chunk later) can
-    restore the buffer and re-encode this chunk at full capacity — the
+    ``run(out, carry_bits, prev_last, first, x[, model]) -> (out',
+    carry', prev', ok)``: encodes one chunk, OR-merges its word spans
+    into the accumulating frame buffer ``out`` at the carried bit
+    offset, and returns the advanced carry.  ``out`` is NOT donated:
+    jit is functional, so the caller's pre-call buffer reference is the
+    free restore point when an entropy-clamp overflow (ok=False,
+    detected one chunk later) forces a full-capacity re-encode — the
     carry itself is exact regardless (code lengths don't depend on the
     pack).  Everything stays on device; no host sync inside.
     """
@@ -732,8 +732,6 @@ def _sp_chunk_program(mesh: Mesh, cfg, chunk_n: int, needs_model: bool,
         args = (x, model) if needs_model else (x,)
         words, starts, _lbits, tbits, ok = enc(*args, carry_bits,
                                                prev_last, first)
-        start0 = carry_bits // 32
-        saved = jax.lax.dynamic_slice(out, (start0,), (span,))
         D_, Wl = words.shape
 
         def merge(d, acc):
@@ -742,10 +740,63 @@ def _sp_chunk_program(mesh: Mesh, cfg, chunk_n: int, needs_model: bool,
                 acc, seg | words[d], (starts[d],))
 
         out2 = jax.lax.fori_loop(0, D_, merge, out)
-        return (out2, saved, start0, carry_bits + tbits[0],
-                x[-1], jnp.all(ok))
+        return out2, carry_bits + tbits[0], x[-1], jnp.all(ok)
 
     return run
+
+
+@functools.lru_cache(maxsize=64)
+def _sp_feed_many_program(mesh: Mesh, cfg, chunk_n: int, k_chunks: int,
+                          needs_model: bool, cap_bits):
+    """K-chunk streaming step in ONE dispatch (a fori over the chunk
+    step INSIDE the program).
+
+    Python-dispatch cost is per call, not per chunk, so a producer can
+    keep its natural (small) chunk size while the encoder amortizes the
+    launch over ``k_chunks`` — the difference between a dispatch-bound
+    and a compute-bound streaming tier.  One shard_map wraps the whole
+    loop: per chunk the shards encode + pack locally, all_gather the
+    packed spans (replicated merge keeps ``out`` identical everywhere),
+    and carry (bit offset, previous sample) flows through the fori
+    state.  Same contract as :func:`_sp_chunk_program` otherwise.
+    """
+    (axis,) = mesh.axis_names
+    D = mesh.devices.size
+    specs = [P(), P(), P(), P(), P(None, axis)]
+    if needs_model:
+        specs.append(P(None, axis))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=tuple(specs),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def run_sh(out, carry_bits, prev_last, first, xs_sh, model_sh=None):
+        def body(k, st):
+            acc, base, prev, ok_all = st
+            x_loc = xs_sh[k]
+            m_loc = model_sh[k] if needs_model else None
+            w, w0, _lbits, tbits, ok = _shard_encode_chunk(
+                x_loc, m_loc, cfg, axis, D, base, prev,
+                first & (k == 0), cap_bits=cap_bits)
+            words_all = jax.lax.all_gather(w, axis)    # (D, Wl)
+            starts_all = jax.lax.all_gather(w0, axis)  # (D,)
+            Wl = w.shape[0]
+
+            def merge(d, a):
+                seg = jax.lax.dynamic_slice(a, (starts_all[d],), (Wl,))
+                return jax.lax.dynamic_update_slice(
+                    a, seg | words_all[d], (starts_all[d],))
+
+            acc2 = jax.lax.fori_loop(0, D, merge, acc)
+            prev2 = jax.lax.all_gather(x_loc[-1], axis)[-1]
+            return (acc2, base + tbits, prev2,
+                    ok_all & jnp.all(jax.lax.all_gather(ok, axis)))
+
+        out2, carry2, prev2, ok = jax.lax.fori_loop(
+            0, k_chunks, body,
+            (out, carry_bits, prev_last, jnp.bool_(True)))
+        return out2, carry2, prev2, ok
+
+    return jax.jit(run_sh)
 
 
 class ChunkedLongStreamEncoder:
@@ -761,11 +812,18 @@ class ChunkedLongStreamEncoder:
     The XXH32 trailer streams through the 16-byte host state
     (utils/xxh32.XXH32State) chunk by chunk.
 
-    Entropy-clamp overflows are handled with a one-chunk-deep deferred
-    commit: the pre-merge span is saved on device and checked at the
-    NEXT feed (or at :meth:`finish`); an overflowed chunk restores the
-    span and re-encodes at full capacity — byte-exactness is never at
-    risk because the clamp only affects packed words, not sizes.
+    Entropy-clamp overflows are handled with a one-feed-deep deferred
+    commit: jit is functional, so the pre-feed frame buffer reference is
+    kept until the feed's ``ok`` flag is checked (at the NEXT feed or at
+    :meth:`finish`); an overflowed feed rolls back to that buffer and
+    re-encodes at full capacity — byte-exactness is never at risk
+    because the clamp only affects packed words, not sizes.
+
+    :meth:`feed_many` consumes a whole (K, chunk) buffer of chunks in
+    ONE device dispatch (the per-chunk step runs in a fori loop inside
+    the program), decoupling the producer's chunk size from the launch
+    granularity — use it whenever more than one chunk is available at a
+    time; per-chunk Python dispatch otherwise bounds throughput.
 
     Preprocessing NONE/DIFF/MODEL stream exactly (DIFF carries one
     sample across chunks); IWT lifts across the whole stream at every
@@ -807,12 +865,11 @@ class ChunkedLongStreamEncoder:
 
         self._cap = default_cap_bits(cfg) if clamp else None
         wb = cfg.worst_bits_per_sample
-        # saved-span width: the chunk's merge touches words
-        # [carry//32, last_start + Wl); Wl <= shard worst words + tail
-        self._span = ((chunk_samples * wb) // 32
-                      + (chunk_samples // D * wb) // 32 + 8)
+        # merge slack past the worst-case frame: the last chunk's spans
+        # (shard payload + tail word) must stay in dynamic-slice bounds
+        slack = (chunk_samples // D * wb) // 32 + 8
         w_cap = worst_case_words(cfg, total_samples)
-        self._out = jnp.zeros((w_cap + self._span,), jnp.uint32)
+        self._out = jnp.zeros((w_cap + slack,), jnp.uint32)
         self._carry = jnp.asarray(cfg.hdr_bits, jnp.int32)
         self._prev = jnp.asarray(0, jnp.int32)
         self._first = jnp.asarray(True)
@@ -822,29 +879,32 @@ class ChunkedLongStreamEncoder:
 
             self._csum = XXH32State(CHECKSUM_SEED)
         self._fed = 0
-        # deferred-commit slot: (ok, saved, start0, pre-chunk carry/prev/
-        # first, chunk operands) — resolved at the next feed/finish
+        # deferred-commit slot: (ok, pre-feed out buffer + carry/prev/
+        # first, operands, many) — resolved at the next feed/finish
         self._pending = None
 
-    def _run(self, cap, *args):
-        prog = _sp_chunk_program(self.mesh, self.cfg, self.chunk,
-                                 self._needs_model, cap, self._span)
+    def _run(self, cap, many, *args):
+        if many:
+            prog = _sp_feed_many_program(self.mesh, self.cfg, self.chunk,
+                                         args[4].shape[0],
+                                         self._needs_model, cap)
+        else:
+            prog = _sp_chunk_program(self.mesh, self.cfg, self.chunk,
+                                     self._needs_model, cap)
         return prog(*args)
 
     def _resolve_pending(self) -> None:
         if self._pending is None:
             return
-        ok, saved, start0, pre_state, operands = self._pending
+        ok, pre_state, operands, many = self._pending
         self._pending = None
         if bool(np.asarray(ok)):
             return
-        # clamp overflow: restore the span (wiping this chunk's garbage
-        # words, leaving every earlier chunk intact) and re-encode the
-        # chunk at full capacity from the saved pre-chunk carry
-        carry0, prev0, first0 = pre_state
-        out = jax.lax.dynamic_update_slice(self._out, saved, (start0,))
-        res = self._run(None, out, carry0, prev0, first0, *operands)
-        self._out, _saved, _s0, self._carry, self._prev, _ok = res
+        # clamp overflow: roll back to the pre-feed buffer (jit never
+        # mutated it — functional outputs) and re-encode this feed's
+        # chunks at full capacity from the saved pre-feed carry
+        res = self._run(None, many, *pre_state, *operands)
+        self._out, self._carry, self._prev, _ok = res
 
     def feed(self, chunk_u16, model_chunk=None) -> None:
         """Feed the next ``chunk_samples`` samples.
@@ -880,17 +940,60 @@ class ChunkedLongStreamEncoder:
         if self._needs_model:
             operands += (jnp.asarray(
                 np.asarray(model_chunk, np.int16), jnp.int32),)
-        pre_state = (self._carry, self._prev, self._first)
-        res = self._run(self._cap, self._out, *pre_state, *operands)
-        self._out, saved, start0, self._carry, self._prev, ok = res
+        pre_state = (self._out, self._carry, self._prev, self._first)
+        res = self._run(self._cap, False, *pre_state, *operands)
+        self._out, self._carry, self._prev, ok = res
         self._first = jnp.asarray(False)
         if self._cap is not None:
-            self._pending = (ok, saved, start0, pre_state, operands)
+            self._pending = (ok, pre_state, operands, False)
         if self._csum is not None:
             if x_np is None:
                 x_np = np.asarray(x).astype(np.uint16)
             self._csum.update(x_np.astype(">u2").tobytes())
         self._fed += self.chunk
+
+    def feed_many(self, chunks, model_chunks=None) -> None:
+        """Feed K chunks — a (K, chunk_samples) buffer — in ONE dispatch.
+
+        Same semantics as K sequential :meth:`feed` calls at a fraction
+        of the launch cost (the per-chunk step runs in a fori loop
+        inside the program); accepts host u16 or device-resident arrays
+        like :meth:`feed`.  The entropy-clamp commit check covers the
+        whole call: if ANY chunk overflowed, the full K-chunk feed rolls
+        back and re-encodes at full capacity.
+        """
+        if isinstance(chunks, jax.Array):
+            v = chunks.astype(jnp.int32) & 0xFFFF
+            xs = ((v ^ 0x8000) - 0x8000).astype(jnp.int32)
+            xs_np = None
+        else:
+            xs_np = np.ascontiguousarray(np.asarray(chunks, np.uint16))
+            xs = jnp.asarray(xs_np.view(np.int16), jnp.int32)
+        if xs.ndim != 2 or xs.shape[1] != self.chunk:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                           f"expected (K, {self.chunk}) chunk buffers")
+        k = xs.shape[0]
+        if self._fed + k * self.chunk > self.total:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG, "stream overfed")
+        if self._needs_model and model_chunks is None:
+            raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                           "MODEL preprocessing requires model chunks")
+        self._resolve_pending()
+        operands = (xs,)
+        if self._needs_model:
+            operands += (jnp.asarray(
+                np.asarray(model_chunks, np.int16), jnp.int32),)
+        pre_state = (self._out, self._carry, self._prev, self._first)
+        res = self._run(self._cap, True, *pre_state, *operands)
+        self._out, self._carry, self._prev, ok = res
+        self._first = jnp.asarray(False)
+        if self._cap is not None:
+            self._pending = (ok, pre_state, operands, True)
+        if self._csum is not None:
+            if xs_np is None:
+                xs_np = np.asarray(xs).astype(np.uint16)
+            self._csum.update(xs_np.astype(">u2").tobytes())
+        self._fed += k * self.chunk
 
     def finish(self) -> bytes:
         """Assemble and return the complete frame bytes."""

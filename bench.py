@@ -711,85 +711,149 @@ def stage_sp():
 
 def stage_sp_chunked():
     """Streaming chunk-fed long-stream encode (round-4 verdict Weak #6):
-    ChunkedLongStreamEncoder fed 2^14-sample chunks of a 2^21-sample
-    stream with a device-resident carry.  Runs in its own pristine
-    subprocess (like stage_sp) with ONLY scalar fetches before the timed
-    loops, so the per-chunk dispatches see the fresh runtime's async
-    regime; the byte-identity gate against the one-shot frame runs LAST
-    (its large fetch degrades dispatch).  The device-resident feed
-    (sync-free clamp=False mode) gives the sustained device number; a
-    host-fed loop including the chunk uploads gives the wall number —
-    on this box that is the documented ~10 MB/s tunnel floor.
+    the feed_many program — the per-chunk carry step (shard encode,
+    funnel shift onto the carried bit grid, span merge) running K chunks
+    per dispatch inside one fori loop.  Timed exactly like every other
+    device stage: the whole-stream (K=128 x 2^14 samples) program inside
+    a dynamic-trip-count loop, two-trip differenced, in a pristine
+    subprocess.  Per-chunk Python dispatch (the plain feed() path) is
+    launch-bound on ANY link — decoupling feed granularity from dispatch
+    granularity is the architecture, and this measures it.  A host-fed
+    feed_many loop including chunk uploads gives the wall number — on
+    this box the documented ~10 MB/s tunnel floor.
     """
     from jax.sharding import Mesh
 
+    from airs_compression_tpu.ops.encode import default_cap_bits
     from airs_compression_tpu.parallel.sp import (
         ChunkedLongStreamEncoder,
+        _sp_feed_many_program,
         compress_long_stream,
     )
 
     n, chunk = 1 << 21, 1 << 14
     n_chunks = n // chunk
     params = headline_params()
+    cfg = make_pass_config(params, False, True)
     rng = np.random.default_rng(4)
     data = ((1100 + rng.normal(0, 6, n)).astype(np.int64)
             & 0xFFFF).astype(np.uint16)
     mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
-    x_dev = jnp.asarray(data.view(np.int16), jnp.int32)
-    x_chunks = x_dev.reshape(n_chunks, chunk)
+    xs_dev = jnp.asarray(data.view(np.int16), jnp.int32) \
+        .reshape(n_chunks, chunk)
 
-    def run_chunks(m):
-        e = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
-        for k in range(m):
-            e.feed(x_chunks[k])
-        return int(np.asarray(e._carry))  # scalar sync only
+    enc0 = ChunkedLongStreamEncoder(mesh, params, n, chunk)
+    out0 = enc0._out
+    hdr_bits = jnp.asarray(cfg.hdr_bits, jnp.int32)
+    prog = _sp_feed_many_program(mesh, cfg, chunk, n_chunks, False,
+                                 default_cap_bits(cfg))
+
+    @jax.jit
+    def loop(xs, n_iter):
+        def body(i, carry):
+            acc, _ = carry
+            xs2 = xs ^ (acc & jnp.int32(1))
+            out, cbits, prev, ok = prog(out0, hdr_bits,
+                                        jnp.asarray(0, jnp.int32),
+                                        jnp.asarray(True), xs2)
+            acc2 = (acc + cbits + prev
+                    + jnp.sum(out, dtype=jnp.uint32).astype(jnp.int32)
+                    + ok.astype(jnp.int32) + jnp.int32(1))
+            return (acc2, cbits)
+
+        return jax.lax.fori_loop(0, n_iter, body,
+                                 (jnp.int32(0), jnp.int32(0)))
 
     budget = min(max(remaining() - 300, 120), 900)
-    log(f"compiling chunked SP program (watchdog {budget:.0f}s, "
-        f"{n_chunks} x {chunk} samples)...")
+    log(f"compiling feed_many SP loop (watchdog {budget:.0f}s, "
+        f"{n_chunks} x {chunk} samples/dispatch)...")
     t0 = time.time()
-    with_alarm(budget, run_chunks, 2)
-    log(f"chunked SP program compiled+ran in {time.time()-t0:.1f}s")
+    with_alarm(budget, lambda: np.asarray(loop(xs_dev, 1)[0]))
+    log(f"feed_many SP loop compiled+ran in {time.time()-t0:.1f}s")
 
     samples = []
     for _ in range(3):
         t_lo = time.time()
-        run_chunks(8)
+        np.asarray(loop(xs_dev, 1)[0])
         t_lo = time.time() - t_lo
         t_hi = time.time()
-        run_chunks(n_chunks)
+        np.asarray(loop(xs_dev, 33)[0])
         t_hi = time.time() - t_hi
-        samples.append(max((t_hi - t_lo) / (n_chunks - 8), 1e-9))
+        samples.append(max((t_hi - t_lo) / 32, 1e-9))
         log(f"  sp-chunked lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
-            f"{samples[-1]*1e3:.3f} ms/chunk")
+            f"{samples[-1]*1e3:.3f} ms/stream")
     per = sorted(samples)[1]
-    sus = 2 * chunk / per / 1e9
+    sus = 2 * n / per / 1e9
 
-    # host-fed wall: uploads in the loop (tunnel floor on this box)
-    host_chunks = data.reshape(n_chunks, chunk)
-    e = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
+    # host-fed wall: feed_many over 16-chunk buffers incl. uploads
+    host_bufs = data.reshape(n_chunks // 16, 16, chunk)
+    e = ChunkedLongStreamEncoder(mesh, params, n, chunk)
     t0 = time.time()
-    for k in range(16):
-        e.feed(host_chunks[k])
+    for b in range(host_bufs.shape[0]):
+        e.feed_many(host_bufs[b])
     int(np.asarray(e._carry))
-    per_w = (time.time() - t0) / 16
-    wall = 2 * chunk / per_w / 1e9
+    wall = 2 * n / (time.time() - t0) / 1e9
 
-    # gate LAST (large fetches): full chunked stream == one-shot frame
-    enc = ChunkedLongStreamEncoder(mesh, params, n, chunk, clamp=False)
-    for k in range(n_chunks):
-        enc.feed(x_chunks[k])
-    chunked_frame = enc.finish()
-    ref = compress_long_stream(mesh, params, data)
-    if chunked_frame[14:] != ref[14:] or chunked_frame[:8] != ref[:8]:
+    # gate LAST (large fetches): the class-driven chunked stream (mixed
+    # feed_many + feed) must equal the one-shot frame byte for byte
+    if e.finish() != compress_long_stream(mesh, params, data):
         log("CORRECTNESS FAILURE: chunked SP frame != one-shot frame")
         return
     log("correctness gate: chunked SP stream byte-identical to one-shot")
-    log(f"SP chunked sustained: {per*1e3:.3f} ms/chunk -> {sus:.2f} GB/s "
-        f"(host-fed wall {wall:.3f} GB/s incl. tunnel uploads)")
+    log(f"SP chunked sustained: {per*1e3:.2f} ms per 2^21-sample stream "
+        f"({n_chunks} chunk steps, 1 dispatch) -> {sus:.2f} GB/s "
+        f"(host-fed feed_many wall {wall:.3f} GB/s incl. tunnel uploads)")
     RESULT["sp_sustained_gbps"] = round(sus, 3)
     RESULT["sp_sustained_wall_gbps"] = round(wall, 3)
     RESULT["sp_chunk_samples"] = chunk
+
+    # chunk-size tradeoff point: 2^17-sample chunks (16 steps) — the
+    # per-step fixed cost (small pack launches) amortizes with chunk
+    # size, trading producer latency for throughput toward the one-shot
+    # program's rate
+    try:
+        chunk_l = 1 << 17
+        k_l = n // chunk_l
+        xs_l = xs_dev.reshape(k_l, chunk_l)
+        prog_l = _sp_feed_many_program(mesh, cfg, chunk_l, k_l, False,
+                                       default_cap_bits(cfg))
+        enc_l = ChunkedLongStreamEncoder(mesh, params, n, chunk_l)
+        out_l = enc_l._out
+
+        @jax.jit
+        def loop_l(xs, n_iter):
+            def body(i, carry):
+                acc, _ = carry
+                xs2 = xs ^ (acc & jnp.int32(1))
+                out, cbits, prev, ok = prog_l(out_l, hdr_bits,
+                                              jnp.asarray(0, jnp.int32),
+                                              jnp.asarray(True), xs2)
+                acc2 = (acc + cbits + prev
+                        + jnp.sum(out, dtype=jnp.uint32).astype(jnp.int32)
+                        + ok.astype(jnp.int32) + jnp.int32(1))
+                return (acc2, cbits)
+
+            return jax.lax.fori_loop(0, n_iter, body,
+                                     (jnp.int32(0), jnp.int32(0)))
+
+        with_alarm(min(max(remaining() - 240, 120), 900),
+                   lambda: np.asarray(loop_l(xs_l, 1)[0]))
+        samples = []
+        for _ in range(3):
+            t_lo = time.time()
+            np.asarray(loop_l(xs_l, 1)[0])
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            np.asarray(loop_l(xs_l, 33)[0])
+            t_hi = time.time() - t_hi
+            samples.append(max((t_hi - t_lo) / 32, 1e-9))
+        per_l = sorted(samples)[1]
+        g_l = 2 * n / per_l / 1e9
+        log(f"SP chunked sustained (2^17 chunks, {k_l} steps): "
+            f"{per_l*1e3:.2f} ms/stream -> {g_l:.2f} GB/s")
+        RESULT["sp_sustained_large_chunk_gbps"] = round(g_l, 3)
+    except Exception as e:
+        log(f"large-chunk point failed: {type(e).__name__} {e}")
 
 
 def _host_encode_raw(params_per_frame, frames_u):
@@ -937,9 +1001,11 @@ def stage_decode_b512():
 
     # coalesced pair (round-4 verdict Weak #5b): two B=512 batches in ONE
     # kernel launch via decode_staged_multi — the default behavior of the
-    # decompress_stream wrapper at sub-tile batch sizes.  Timed as the
-    # real wrapper dispatch loop (pre-uploaded word pools; the final
-    # fetch is the honest sync), per-512-batch cost halves the launch.
+    # decompress_stream wrapper at sub-tile batch sizes.  Measured in the
+    # pristine --wrapper-only subprocess; this fallback pays the degraded
+    # dispatch floor and only runs if that produced nothing.
+    if "decode_b512_coalesced_gbps" in RESULT:
+        return
     try:
         from airs_compression_tpu.models.stream import BatchDecompressor
 
@@ -1125,13 +1191,69 @@ def stage_wrapper_decode():
     RESULT["wrapper_stage_ms"] = round(t_stage * 1e3, 3)
     RESULT["wrapper_device_ms"] = round(t_dev * 1e3, 3)
 
-    # sustained pipelined decode: the REAL per-batch loop body the
-    # decompress_stream driver runs — host staging from the contiguous
-    # stream, then the asynchronously dispatched device decode (byte
-    # swap + group decode + device checksum, via decode_staged with a
-    # pre-uploaded word pool: the upload is the tunnel artifact already
-    # excluded above).  Per-batch steady state via two-trip differencing
-    # with a final small fetch (honest in both dispatch regimes).
+    # sustained pipelined decode: measured in the pristine --wrapper-only
+    # subprocess (stage_wrapper_sustained); this in-process fallback only
+    # runs when that subprocess produced nothing — its launches pay the
+    # degraded post-fetch dispatch floor, so it UNDERSTATES the wrapper
+    if "wrapper_decode_sustained_gbps" not in RESULT:
+        st0 = bd.stage_frames_at(stream, offs, lens)
+        words_pool = jnp.asarray(st0.words)
+
+        def pipeline(m):
+            dec = None
+            for _ in range(m):
+                st_k = bd.stage_frames_at(stream, offs, lens)
+                dec = bd.decode_staged(st_k, words_dev=words_pool)
+            return np.asarray(dec.end_bits)
+
+        pipeline(2)  # warm
+        samples = []
+        for _ in range(3):
+            t_lo = time.time()
+            pipeline(2)
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            pipeline(18)
+            t_hi = time.time() - t_hi
+            samples.append(max((t_hi - t_lo) / 16, 1e-9))
+            log(f"  sustained lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+                f"{samples[-1]*1e3:.3f} ms/batch")
+        per_b = sorted(samples)[1]
+        sus = gb / per_b
+        log(f"wrapper decode sustained (degraded-dispatch fallback): "
+            f"{per_b*1e3:.3f} ms/batch -> {sus:.2f} GB/s")
+        RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+
+
+def stage_wrapper_sustained():
+    """Sustained pipelined wrapper decode in a PRISTINE process.
+
+    The decompress_stream steady state: per batch, host staging from the
+    contiguous stream (stage_frames_at) followed by ONE fused device
+    dispatch (byte swap + lockstep decode + device checksum,
+    models/stream._decode_group_fused).  Runs before any large fetch so
+    dispatch stays in the fresh runtime's fast regime (the parent
+    process measures the same loop at the degraded ~1.4 ms/launch floor
+    — a link artifact, BASELINE.md).  Also measures the coalesced
+    B=512-pair launch (decode_staged_multi), the wrapper's default for
+    sub-tile batches.  Round-trip + checksum gates run AFTER the timed
+    loops (their sample fetches are the degradation trigger).
+    """
+    import dataclasses
+
+    from airs_compression_tpu.models.stream import BatchDecompressor
+
+    B, N, REP = 1024, 1024, 4
+    params = dataclasses.replace(headline_params(), checksum_enabled=True)
+    frames_u = make_frames(B // REP, N, seed=9)
+    raws = _host_encode_raw([params] * (B // REP), frames_u)
+    frames = list(raws) * REP
+    x_ref = np.tile(frames_u, (REP, 1)).view(np.int16).astype(np.int32)
+
+    bd = BatchDecompressor(params, B, N)
+    stream = b"".join(frames)
+    lens = np.fromiter((len(f) for f in frames), np.int64, count=B)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     st0 = bd.stage_frames_at(stream, offs, lens)
     words_pool = jnp.asarray(st0.words)
 
@@ -1140,25 +1262,88 @@ def stage_wrapper_decode():
         for _ in range(m):
             st_k = bd.stage_frames_at(stream, offs, lens)
             dec = bd.decode_staged(st_k, words_dev=words_pool)
-        return np.asarray(dec.end_bits)
+        return np.asarray(dec.end_bits), dec
 
-    pipeline(2)  # warm
+    budget = min(max(remaining() - 300, 120), 900)
+    log(f"compiling sustained wrapper decode (watchdog {budget:.0f}s)...")
+    t0 = time.time()
+    _, dec_last = with_alarm(budget, pipeline, 2)
+    log(f"sustained wrapper decode compiled+ran in {time.time()-t0:.1f}s")
     samples = []
-    for _ in range(3):
+    for _ in range(5):
         t_lo = time.time()
-        pipeline(2)
+        pipeline(4)
         t_lo = time.time() - t_lo
         t_hi = time.time()
-        pipeline(18)
+        pipeline(36)
         t_hi = time.time() - t_hi
-        samples.append(max((t_hi - t_lo) / 16, 1e-9))
+        samples.append(max((t_hi - t_lo) / 32, 1e-9))
         log(f"  sustained lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
             f"{samples[-1]*1e3:.3f} ms/batch")
-    per_b = sorted(samples)[1]
+    per_b = sorted(samples)[2]
+    gb = B * N * 2 / 1e9
+
+    # coalesced B=512 pair: one launch decodes two sub-tile batches
+    per_launch = None
+    try:
+        B2 = B // 2
+        bd2 = BatchDecompressor(params, B2, N)
+        half = len(frames) // 2
+        f1, f2 = frames[:half], frames[half:]
+        st1 = bd2.stage_frames(f1)
+        st2 = bd2.stage_frames(f2)
+        pool = [jnp.asarray(st1.words), jnp.asarray(st2.words)]
+
+        def launch(m):
+            dec = None
+            for _ in range(m):
+                dec = bd2.decode_staged_multi([st1, st2], words_dev=pool)
+            return np.asarray(dec[-1].end_bits), dec
+
+        _, decs = launch(2)
+        samples = []
+        for _ in range(5):
+            t_lo = time.time()
+            launch(4)
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            launch(36)
+            t_hi = time.time() - t_hi
+            samples.append(max((t_hi - t_lo) / 32, 1e-9))
+            log(f"  b512-coalesced lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms"
+                f" -> {samples[-1]*1e3:.3f} ms/launch")
+        per_launch = sorted(samples)[2]
+    except Exception as e:
+        log(f"coalesced sub-stage failed: {type(e).__name__} {e}")
+
+    # gates LAST: full round-trip incl. checksum verification
+    out = bd.finish(bd.stage_frames_at(stream, offs, lens),
+                    bd.decode_staged(
+                        bd.stage_frames_at(stream, offs, lens),
+                        words_dev=words_pool))
+    if not np.array_equal(out.view(np.int16).astype(np.int32), x_ref):
+        log("CORRECTNESS FAILURE: sustained wrapper decode mismatch")
+        return
+    if per_launch is not None:
+        decs = bd2.decode_staged_multi([st1, st2], words_dev=pool)
+        for st_i, dec_i, lo in ((st1, decs[0], 0), (st2, decs[1], half)):
+            got = bd2.finish(st_i, dec_i)
+            if not np.array_equal(got.view(np.int16).astype(np.int32),
+                                  x_ref[lo:lo + B2]):
+                log("CORRECTNESS FAILURE: coalesced pair mismatch")
+                per_launch = None
+                break
+    log("correctness gate: sustained + coalesced wrapper decode "
+        "round-trip (checksums verified on device)")
     sus = gb / per_b
-    log(f"wrapper decode sustained (pipelined, 16 batches): "
-        f"{per_b*1e3:.3f} ms/batch -> {sus:.2f} GB/s")
+    log(f"wrapper decode sustained: {per_b*1e3:.3f} ms/batch -> "
+        f"{sus:.2f} GB/s")
     RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+    if per_launch is not None:
+        g_c = gb / per_launch
+        log(f"b512 coalesced decode: {per_launch*1e3:.3f} ms per 2-batch "
+            f"launch -> {g_c:.2f} GB/s per byte")
+        RESULT["decode_b512_coalesced_gbps"] = round(g_c, 3)
 
 
 def stage_wrapper_encode():
@@ -1532,14 +1717,26 @@ def main():
             print(json.dumps({k: v for k, v in RESULT.items()
                               if k.startswith("sp_")}), flush=True)
         return
+    if "--wrapper-only" in sys.argv:
+        try:
+            stage_wrapper_sustained()
+        finally:
+            print(json.dumps({k: v for k, v in RESULT.items()
+                              if "wrapper" in k or "coalesced" in k}),
+                  flush=True)
+        return
 
     cpu_handles = launch_cpu_stages()  # runs concurrently on host cores
     sp_ok = False
     if remaining() > 900:
         sp_ok = run_sp_subprocess()   # pristine-process SP measurement
     if remaining() > 1200:
-        # pristine process for the streaming chunk-fed encode as well
+        # pristine processes for the streaming chunk-fed encode and the
+        # sustained wrapper decode (their timed loops need the fresh
+        # runtime's dispatch regime)
         run_sp_subprocess("--sp-chunked-only", "sp-chunked", 900)
+    if remaining() > 1200:
+        run_sp_subprocess("--wrapper-only", "wrapper", 900)
     log(f"devices: {jax.devices()}  (deadline {DEADLINE_S:.0f}s, "
         f"cache {_CACHE})")
 
