@@ -344,6 +344,20 @@ def bswap32(w: jax.Array) -> jax.Array:
     return _bswap32_expr(w)
 
 
+@functools.partial(jax.jit, static_argnames=("raws", "nw"))
+def _stack_words(ws, raws: "tuple[bool, ...]", nw: int):
+    """Swap/pad/concatenate several batches' word matrices in ONE
+    dispatch (the coalesced launch's staging-side device work)."""
+    out = []
+    for w, r in zip(ws, raws):
+        if r:
+            w = _bswap32_expr(w)
+        if w.shape[1] < nw:
+            w = jnp.pad(w, ((0, 0), (0, nw - w.shape[1])))
+        out.append(w)
+    return jnp.concatenate(out, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "swap",
                                              "do_csum"))
 def _decode_group_fused(cfg, words, model, n_samples: int, swap: bool,
@@ -815,15 +829,9 @@ class BatchDecompressor:
             return [self.decode_staged(
                 sts[0], None if words_dev is None else words_dev[0])]
         nw = max(s.n_words for s in sts)
-        ws = []
-        for i, s in enumerate(sts):
-            w = (jnp.asarray(s.words) if words_dev is None
-                 else words_dev[i])
-            if s.raw:
-                w = bswap32(w)
-            if s.n_words < nw:
-                w = jnp.pad(w, ((0, 0), (0, nw - s.n_words)))
-            ws.append(w)
+        ws = [jnp.asarray(s.words) if words_dev is None else words_dev[i]
+              for i, s in enumerate(sts)]
+        stacked = _stack_words(ws, tuple(s.raw for s in sts), nw)
         cat = np.concatenate
         comb = StagedFrames(
             words=None, raw=False, n_words=nw,
@@ -834,7 +842,7 @@ class BatchDecompressor:
             csize=cat([s.csize for s in sts]),
             stored_csum=cat([s.stored_csum for s in sts]),
             nbytes=sum(s.nbytes for s in sts))
-        dec = self.decode_staged(comb, words_dev=jnp.concatenate(ws, axis=0))
+        dec = self.decode_staged(comb, words_dev=stacked)
         outs = []
         o = 0
         for s in sts:

@@ -200,12 +200,28 @@ def make_encode_loop(cfg, n_words, B, N, cap_bits=None):
 
 
 def measure_loop(loop_fn, first_arg, n_lo, n_hi, reps=5):
-    """Median per-iteration time via two-trip-count differencing."""
+    """Median per-iteration time via two-trip-count differencing.
+
+    Latency guard: when the link's round-trip swallows the extra trips
+    (t_hi ~= t_lo even though the high call does (n_hi - n_lo) more
+    iterations — observed: a 513-trip call returning in 1-trip time at a
+    ~100 ms RTT), the sample is rejected and the span escalates 4x until
+    the work dominates the latency.  Without this a latency-bound pair
+    differences to ~0 and posts an absurd throughput.
+    """
     samples = []
-    for _ in range(reps):
+    attempts = 0
+    while len(samples) < reps and attempts < reps + 4:
+        attempts += 1
         t_lo, _ = timed(lambda: loop_fn(first_arg, n_lo)[0])
         t_hi, _ = timed(lambda: loop_fn(first_arg, n_hi)[0])
-        samples.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
+        diff = t_hi - t_lo
+        if diff <= max(0.2 * t_lo, 2e-3) and n_hi < 16385:
+            n_hi = (n_hi - 1) * 4 + 1
+            log(f"  lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms: latency-"
+                f"bound pair, escalating span to {n_hi} trips")
+            continue
+        samples.append(max(diff / (n_hi - n_lo), 1e-9))
         log(f"  lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
             f"{samples[-1]*1e3:.3f} ms/iter")
     return sorted(samples)[len(samples) // 2]
@@ -1283,36 +1299,53 @@ def stage_wrapper_sustained():
     per_b = sorted(samples)[2]
     gb = B * N * 2 / 1e9
 
-    # coalesced B=512 pair: one launch decodes two sub-tile batches
+    # coalesced B=512 pair: one launch decodes two sub-tile batches.
+    # The launch's device graph (stack = swap/pad/concat, then the fused
+    # decode + checksum) is timed with the standard dynamic-trip-count
+    # differencing — the same methodology as every kernel stage, immune
+    # to the link's dispatch-latency noise.
     per_launch = None
     try:
+        from airs_compression_tpu.models.stream import (
+            _decode_group_fused,
+            _stack_words,
+        )
+
+        cfg = make_pass_config(params, False, True)
         B2 = B // 2
         bd2 = BatchDecompressor(params, B2, N)
         half = len(frames) // 2
-        f1, f2 = frames[:half], frames[half:]
-        st1 = bd2.stage_frames(f1)
-        st2 = bd2.stage_frames(f2)
-        pool = [jnp.asarray(st1.words), jnp.asarray(st2.words)]
+        st1 = bd2.stage_frames(frames[:half])
+        st2 = bd2.stage_frames(frames[half:])
+        w1 = jnp.asarray(st1.words)
+        w2 = jnp.asarray(st2.words)
+        raws = (st1.raw, st2.raw)
+        nw = max(st1.n_words, st2.n_words)
+        zmodel = jnp.zeros((B, N), jnp.int32)
 
-        def launch(m):
-            dec = None
-            for _ in range(m):
-                dec = bd2.decode_staged_multi([st1, st2], words_dev=pool)
-            return np.asarray(dec[-1].end_bits), dec
+        @jax.jit
+        def coal_loop(w_pair, n_iter):
+            wa, wb = w_pair
 
-        _, decs = launch(2)
-        samples = []
-        for _ in range(5):
-            t_lo = time.time()
-            launch(4)
-            t_lo = time.time() - t_lo
-            t_hi = time.time()
-            launch(36)
-            t_hi = time.time() - t_hi
-            samples.append(max((t_hi - t_lo) / 32, 1e-9))
-            log(f"  b512-coalesced lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms"
-                f" -> {samples[-1]*1e3:.3f} ms/launch")
-        per_launch = sorted(samples)[2]
+            def body(i, carry):
+                acc = carry[0]
+                stacked = _stack_words([wa ^ (acc & jnp.uint32(1)),
+                                        wb ^ (acc & jnp.uint32(1))],
+                                       raws, nw)
+                s, e, c = _decode_group_fused(cfg, stacked, zmodel, N,
+                                              False, True)
+                acc2 = (jnp.sum(s.astype(jnp.uint32))
+                        + jnp.sum(e.astype(jnp.uint32)) + jnp.sum(c)
+                        + jnp.uint32(1))
+                return (acc2, e)
+
+            return jax.lax.fori_loop(
+                0, n_iter, body,
+                (jnp.uint32(0), jnp.zeros((B,), jnp.int32)))
+
+        np.asarray(coal_loop((w1, w2), 1)[0])
+        per_launch = with_alarm(min(remaining(), 180), measure_loop,
+                                coal_loop, (w1, w2), 1, 513, 3)
     except Exception as e:
         log(f"coalesced sub-stage failed: {type(e).__name__} {e}")
 
@@ -1325,7 +1358,7 @@ def stage_wrapper_sustained():
         log("CORRECTNESS FAILURE: sustained wrapper decode mismatch")
         return
     if per_launch is not None:
-        decs = bd2.decode_staged_multi([st1, st2], words_dev=pool)
+        decs = bd2.decode_staged_multi([st1, st2], words_dev=[w1, w2])
         for st_i, dec_i, lo in ((st1, decs[0], 0), (st2, decs[1], half)):
             got = bd2.finish(st_i, dec_i)
             if not np.array_equal(got.view(np.int16).astype(np.int32),
@@ -1438,7 +1471,8 @@ def stage_wrapper_encode():
     # host phase on the fetched swapped rows: C row gather (packed
     # stream extraction) + the bulk identifier draw; MIN of reps
     # (host-core contention, same rule as the decode wrapper)
-    rows = words_np.view(np.uint8).reshape(B, n_words * 4)
+    rows = np.ascontiguousarray(words_np).view(np.uint8) \
+        .reshape(B, n_words * 4)
     bc2 = BatchCompressor(params, B, N)
     ts = []
     for _ in range(9):
@@ -1726,17 +1760,19 @@ def main():
                   flush=True)
         return
 
-    cpu_handles = launch_cpu_stages()  # runs concurrently on host cores
+    # pristine subprocess stages FIRST, before the CPU scaling stages
+    # start competing for this box's 2 host cores (their host phases are
+    # contention-sensitive) and before this process touches the TPU
     sp_ok = False
     if remaining() > 900:
         sp_ok = run_sp_subprocess()   # pristine-process SP measurement
     if remaining() > 1200:
-        # pristine processes for the streaming chunk-fed encode and the
-        # sustained wrapper decode (their timed loops need the fresh
-        # runtime's dispatch regime)
+        # streaming chunk-fed encode and sustained wrapper decode: their
+        # timed loops need the fresh runtime's dispatch regime
         run_sp_subprocess("--sp-chunked-only", "sp-chunked", 900)
     if remaining() > 1200:
         run_sp_subprocess("--wrapper-only", "wrapper", 900)
+    cpu_handles = launch_cpu_stages()  # runs concurrently on host cores
     log(f"devices: {jax.devices()}  (deadline {DEADLINE_S:.0f}s, "
         f"cache {_CACHE})")
 
