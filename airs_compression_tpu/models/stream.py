@@ -135,13 +135,13 @@ class BatchCompressor:
 
         The shared core of :meth:`compress_frames` /
         :meth:`compress_frames_packed`: runs the device passes, advances
-        the chain state, byte-swaps ON DEVICE (one fused VPU pass — a
-        host ``astype('>u4')`` of the whole word matrix was a measurable
-        share of wrapper encode time) and draws the fallback identifier
-        replacements.  Returns ``(rows, sizes, fell)`` with ``rows`` a
-        (B, n_words*4) uint8 matrix whose rows are complete big-endian
-        frames (fallback rows still carry the pre-reset identifier —
-        extraction patches bytes 8:14 from ``self.identifiers``).
+        the chain state and draws the fallback identifier replacements.
+        Returns ``(words_dev, sizes_dev, sizes_np, fell_np)`` — the
+        device word matrix stays un-swapped and un-fetched so each
+        wrapper picks its own extraction (matrix fetch for the bytes
+        list; on-device stream merge for the packed form); fallback rows
+        still carry the pre-reset identifier — extraction patches bytes
+        8:14 from ``self.identifiers``.
         """
         if self.cmp_type is CmpType.I16_IN_I32:
             arr = np.asarray(frames)
@@ -243,9 +243,6 @@ class BatchCompressor:
 
         import sys as _sys
 
-        if _sys.byteorder == "little":
-            words = bswap32(words)  # device-side: rows fetch as BE bytes
-        words_np = np.asarray(words)
         sizes_np = np.asarray(sizes)
         fell_np = np.asarray(fell_back)
 
@@ -259,8 +256,7 @@ class BatchCompressor:
         if fb.size:
             ids = _context._new_identifiers(2 * fb.size)[1::2]
             self.identifiers[fb] = ids.astype(np.int64)
-        rows = words_np.view(np.uint8).reshape(self.batch, self.n_words * 4)
-        return rows, sizes_np, fell_np
+        return words, sizes, sizes_np, fell_np
 
     def compress_frames(self, frames) -> "list[bytes]":
         """Compress one (B, N) frame per chain; returns B AIRSPACE frames.
@@ -274,10 +270,17 @@ class BatchCompressor:
         Callers writing the frames to one stream/file should prefer
         :meth:`compress_frames_packed` (no per-frame bytes objects).
         """
+        import sys as _sys
         import time as _time
 
         _t0 = _time.perf_counter()
-        rows, sizes_np, fell_np = self._encode_frames(frames)
+        words, _sizes, sizes_np, fell_np = self._encode_frames(frames)
+        if _sys.byteorder == "little":
+            words = bswap32(words)  # device-side: rows fetch as BE bytes
+        # some backends hand back non-C-contiguous views; the u8 row
+        # view below requires contiguity (no-op copy otherwise)
+        rows = np.ascontiguousarray(np.asarray(words)) \
+            .view(np.uint8).reshape(self.batch, self.n_words * 4)
         stride = rows.shape[1]
         rb = rows.tobytes()
         frames_out: "list[bytes]" = []
@@ -293,41 +296,91 @@ class BatchCompressor:
                             _time.perf_counter() - _t0)
         return frames_out
 
-    def compress_frames_packed(self, frames):
+    def compress_frames_packed(self, frames, as_array: bool = False,
+                               assemble: str = "host"):
         """Compress one (B, N) frame per chain into ONE packed stream.
 
         Returns ``(stream, sizes)``: the B frames concatenated in block
         order (the AIRSPACE stream/file layout, reference
-        programs/file.c:435-488) and their per-frame byte sizes.  The
-        frame extraction is one native C row gather (inverse of the
-        decode tier's ``airs_scatter_rows``) instead of B Python slices
-        — with the device-side byteswap this makes the packed wrapper
-        the encode path's fast user surface.
+        programs/file.c:435-488) and their per-frame byte sizes.
+        ``as_array=True`` returns the stream as a uint8 numpy array —
+        no final bytes copy — for callers that write to a file/socket.
+
+        ``assemble`` picks where the frames concatenate:
+
+        * ``"host"`` (default): fetch the byte-swapped frame matrix and
+          run one native C row gather — ~3 MB of host memcpy per 8 MiB
+          batch, fully overlappable with the next batch's device encode.
+        * ``"device"``: merge the frame word streams through log2(B)
+          funnel-shift levels on device (ops/bitpack.merge_streams_tree)
+          and fetch only the trimmed stream.  Measured SLOWER on v5e
+          (the tree moves the worst-case buffer log2(B) times — ~1.1 ms
+          of device time vs ~0.7 ms of host memcpy at B=512, N=8192;
+          BASELINE.md) — kept opt-in for hosts whose memcpy, not the
+          chip, is the bottleneck.
         """
+        import sys as _sys
         import time as _time
 
         _t0 = _time.perf_counter()
-        rows, sizes_np, fell_np = self._encode_frames(frames)
-        stride = rows.shape[1]
-        from .. import native
-
-        if native.native_available():
-            stream = native.gather_rows(rows, sizes_np, stride)
+        words, sizes_dev, sizes_np, fell_np = self._encode_frames(frames)
+        little = _sys.byteorder == "little"
+        total = int(sizes_np.sum())
+        if assemble == "device":
+            stream = _pack_stream_device(words, sizes_dev, little)
+            arr = np.ascontiguousarray(
+                np.asarray(stream[: (total + 3) // 4])) \
+                .view(np.uint8)[:total]
         else:
-            stream = b"".join(
-                rows[b, : sizes_np[b]].tobytes()
-                for b in range(self.batch))
+            if little:
+                words = bswap32(words)
+            rows = np.ascontiguousarray(np.asarray(words)) \
+                .view(np.uint8).reshape(self.batch, self.n_words * 4)
+            from .. import native
+
+            if native.native_available():
+                arr = np.frombuffer(
+                    native.gather_rows(rows, sizes_np, rows.shape[1]),
+                    np.uint8)
+            else:
+                arr = np.concatenate(
+                    [rows[b, : sizes_np[b]] for b in range(self.batch)])
         fb = np.nonzero(fell_np)[0]
         if fb.size:
+            if not arr.flags.writeable:
+                arr = arr.copy()
             offs = np.concatenate(([0], np.cumsum(sizes_np)[:-1]))
-            patched = bytearray(stream)
             for b in fb:
-                patched[offs[b] + 8: offs[b] + 14] = \
-                    int(self.identifiers[b]).to_bytes(6, "big")
-            stream = bytes(patched)
-        self.metrics.record(2 * self.batch * self.n_samples, len(stream),
+                arr[offs[b] + 8: offs[b] + 14] = np.frombuffer(
+                    int(self.identifiers[b]).to_bytes(6, "big"), np.uint8)
+        out = arr if as_array else arr.tobytes()
+        self.metrics.record(2 * self.batch * self.n_samples, total,
                             _time.perf_counter() - _t0)
-        return stream, sizes_np
+        return out, sizes_np
+
+
+@functools.partial(jax.jit, static_argnames=("swap",))
+def _pack_stream_device(words: jax.Array, sizes: jax.Array,
+                        swap: bool) -> jax.Array:
+    """Merge B frame word streams into ONE packed stream on device.
+
+    Frames are byte-aligned left-justified bit streams (bits =
+    sizes * 8), so their in-order concatenation through the funnel-shift
+    merge tree IS the AIRSPACE stream/file layout; the byte swap fuses
+    into the same graph.  Returns the (B * n_words,) uint32 stream
+    (valid through sum(sizes) bytes).
+    """
+    from ..ops.bitpack import merge_streams_tree
+
+    B = words.shape[0]
+    M = 1 << max((B - 1).bit_length(), 0)
+    bits = sizes.astype(jnp.int32) * 8
+    if M != B:  # pad the stream count to a power of two with empty rows
+        words = jnp.concatenate(
+            [words, jnp.zeros((M - B, words.shape[1]), jnp.uint32)])
+        bits = jnp.concatenate([bits, jnp.zeros((M - B,), jnp.int32)])
+    stream, _total = merge_streams_tree(words, bits)
+    return _bswap32_expr(stream) if swap else stream
 
 
 def _bswap32_expr(w: jax.Array) -> jax.Array:

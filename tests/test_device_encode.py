@@ -395,3 +395,30 @@ def test_bulk_identifier_draws_match_sequential():
     b = [ctx._new_identifier() for _ in range(3)]
     assert list(a) == [a[0] + i for i in range(3)]
     assert b[0] == a[-1] + 1
+
+
+def test_compress_frames_packed_assemble_variants():
+    """Host-gather (default) and device-merge stream assembly produce
+    identical bytes; as_array returns the same stream without a copy."""
+    from airs_compression_tpu.engine.context import set_timestamp_func
+    from airs_compression_tpu.models.stream import BatchCompressor
+
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3, checksum_enabled=True)
+    B, N = 6, 160  # non-power-of-two B exercises the merge padding
+    rng = np.random.default_rng(70)
+    frames = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+              & 0xFFFF).astype(np.uint16)
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        ref, sizes = BatchCompressor(params, B, N) \
+            .compress_frames_packed(frames)
+        dev, _ = BatchCompressor(params, B, N) \
+            .compress_frames_packed(frames, assemble="device")
+        arr, _ = BatchCompressor(params, B, N) \
+            .compress_frames_packed(frames, as_array=True)
+    finally:
+        set_timestamp_func(None)
+    assert dev == ref
+    assert isinstance(arr, np.ndarray) and bytes(arr) == ref
