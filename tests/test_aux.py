@@ -136,6 +136,7 @@ class TestGather:
     ("long_stream.py", b""),
     ("device_pipeline.py", b""),
     ("distributed_compression.py", b""),
+    ("streaming_pipeline.py", b"pipelined decode"),
 ])
 def test_example_runs(script, needle):
     """Every shipped example executes green on the virtual CPU mesh
