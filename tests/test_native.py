@@ -77,3 +77,67 @@ def test_scatter_rows_matches_python():
     for b, r in enumerate(rows):
         ref[b, : lens[b]] = np.frombuffer(r, np.uint8)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_scatter_rows_memsets_tails():
+    """scatter_rows zero-fills row tails — callers pass uninitialized
+    buffers (np.empty), so stale bytes must never survive."""
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(6)
+    B, stride = 9, 64
+    lens = rng.integers(0, stride + 1, B)
+    rows = [rng.integers(0, 256, l).astype(np.uint8).tobytes()
+            for l in lens]
+    out = np.full((B, stride), 0xAB, np.uint8)  # poisoned buffer
+    native.scatter_rows(b"".join(rows), lens, stride, out)
+    for b, r in enumerate(rows):
+        np.testing.assert_array_equal(out[b, : lens[b]],
+                                      np.frombuffer(r, np.uint8))
+        assert (out[b, lens[b]:] == 0).all(), b
+
+
+def test_gather_rows_inverts_scatter():
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    B, stride = 23, 80
+    lens = rng.integers(0, stride + 1, B)
+    rows = [rng.integers(0, 256, l).astype(np.uint8).tobytes()
+            for l in lens]
+    buf = np.empty((B, stride), np.uint8)
+    native.scatter_rows(b"".join(rows), lens, stride, buf)
+    assert native.gather_rows(buf, lens, stride) == b"".join(rows)
+    # lens exceeding the stride clamp (defensive contract)
+    assert native.gather_rows(buf, np.full(B, stride + 50), stride) \
+        == buf.tobytes()
+
+
+def test_stage_parse_tiny_csize_clamps_trailer():
+    """A header whose compressed_size is below the trailer width must
+    parse without reading out of bounds (the decode end-position guard
+    rejects the block later) — mirrors the numpy path's np.clip."""
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    B, stride = 2, 32
+    buf = np.zeros((B, stride), np.uint8)
+    for b in range(B):
+        # valid-enough header: version, csize=2 (< 4!), osize=2*4,
+        # seq=1, method: prep=1 (DIFF), cs=1, enc=1; ext g=3
+        buf[b, 0] = 0x80
+        buf[b, 2:5] = (0, 0, 2)
+        buf[b, 5:8] = (0, 0, 8)
+        buf[b, 14] = 1
+        buf[b, 15] = (1 << 4) | (1 << 3) | 1
+        buf[b, 17:19] = (0, 3)
+    lens = np.full(B, stride, np.int64)
+    res = native.stage_parse(buf, lens, 4)
+    assert len(res) == 8  # parsed, not failed
+    prep, enc, cs, seq, g, outlier, csize, stored = res
+    assert list(csize) == [2, 2] and list(g) == [3, 3]
