@@ -79,19 +79,26 @@ def compress_chunked(params: CmpParams, samples_u16,
     tail_ctx = CmpContext(params)
 
     n_full = n // chunk_samples
-    out: list[bytes] = []
+    out: "list" = []
     pos = 0
     i = 0
     while i < n_full:
         b = min(batch, n_full - i)
         bc = compressor_cls(params, b, chunk_samples)
         frames = x[pos : pos + b * chunk_samples].reshape(b, chunk_samples)
-        out.extend(bc.compress_frames(frames))
+        if hasattr(bc, "compress_frames_packed"):
+            # one packed stream per batch (native row gather; no
+            # per-frame bytes objects) — byte-identical to the joined
+            # frame list by contract (tested)
+            out.append(bc.compress_frames_packed(frames, as_array=True)[0])
+        else:
+            out.extend(bc.compress_frames(frames))
         pos += b * chunk_samples
         i += b
     if pos < n:  # remainder block via the host codec
         out.append(tail_ctx.compress_u16(x[pos:]))
-    return b"".join(out)
+    return b"".join(memoryview(p) if isinstance(p, np.ndarray) else p
+                    for p in out)
 
 
 def _next_pow2(x: int) -> int:
@@ -144,6 +151,25 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
     out_parts: "list[np.ndarray | None]" = [None] * len(blocks)
     state = DecoderState(cmp_type)
     decoders: "dict[tuple[int, int], BatchDecompressor]" = {}
+
+    # one-run-deep pipeline: a device run's finish (the only host sync)
+    # is deferred until the NEXT run has been staged and dispatched, so
+    # staging overlaps the in-flight decode; host-path blocks drain the
+    # pipeline first because they consume chain state in block order
+    pending = None
+
+    def _flush() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        i0, j0, bd_p, st_p, dec_p = pending
+        pending = None
+        decoded = bd_p.finish(st_p, dec_p)
+        for k, (_o, h) in enumerate(blocks[i0:j0]):
+            samples = decoded[k]
+            state.update_after_block(h, samples)
+            out_parts[i0 + k] = samples
+
     i = 0
     while i < len(blocks):
         h0 = blocks[i][1]
@@ -181,13 +207,12 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                                        verify_checksum=verify_checksum)
                 decoders[(b_pad, n_samples)] = bd
             st = bd.stage_frames_at(stream, offs, lens)
-            decoded = bd.finish(st, bd.decode_staged(st))
-            for k, (o, h) in enumerate(blocks[i:j]):
-                samples = decoded[k]
-                state.update_after_block(h, samples)
-                out_parts[i + k] = samples
+            dec = bd.decode_staged(st)
+            _flush()  # previous run finishes AFTER this one dispatched
+            pending = (i, j, bd, st, dec)
             i = j
         else:  # host path: single block, or one that needs chain state
+            _flush()
             o, h = blocks[i]
             model = None
             if h.preprocessing == int(_P.MODEL):
@@ -203,6 +228,7 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
             state.update_after_block(h, samples)
             out_parts[i] = samples
             i += 1
+    _flush()
     if not out_parts:
         return np.zeros(0, np.uint16)
     return np.concatenate(out_parts)
