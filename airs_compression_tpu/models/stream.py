@@ -460,6 +460,9 @@ class StagedFrames:
     csize: "np.ndarray"          # (B,) int64
     stored_csum: "np.ndarray"    # (B,) uint32 (0 where cs == 0)
     nbytes: int                  # total compressed input bytes
+    # every block shares block 0's method byte + encoder parameters (the
+    # common lockstep case): lets decode_staged skip its group scan
+    uniform: bool = False
 
 
 @_dataclasses.dataclass
@@ -679,14 +682,14 @@ class BatchDecompressor:
             code, msg = _STAGE_CHECK_ERRORS[rank]
             raise CmpError(code, None if msg is None
                            else f"block {block}: {msg}")
-        prep, enc, cs, seq, g, outlier, csize, stored = res
+        prep, enc, cs, seq, g, outlier, csize, stored, uniform = res
         import sys as _sys
 
         return StagedFrames(
             words=buf.view(np.uint32), raw=_sys.byteorder == "little",
             n_words=n_words, prep=prep, enc=enc, cs=cs, seq=seq, g=g,
             outlier=outlier, csize=csize, stored_csum=stored,
-            nbytes=int(lens.sum()))
+            nbytes=int(lens.sum()), uniform=uniform)
 
     def _stage_from_buf(self, buf: "np.ndarray", lens: "np.ndarray",
                         n_words: int) -> StagedFrames:
@@ -737,6 +740,14 @@ class BatchDecompressor:
 
         import sys as _sys
 
+        uniform = bool(
+            (h.preprocessing == h.preprocessing[0]).all()
+            and (h.encoder_type == h.encoder_type[0]).all()
+            and (h.checksum_enabled == h.checksum_enabled[0]).all()
+            and (h.encoder_param == h.encoder_param[0]).all()
+            and (h.encoder_outlier == h.encoder_outlier[0]).all()) \
+            if B else True
+
         # on a little-endian host the raw u32 view is byte-swapped
         # relative to the stream's BE word values; the device swaps
         return StagedFrames(
@@ -746,7 +757,7 @@ class BatchDecompressor:
             cs=h.checksum_enabled, seq=h.sequence_number,
             g=h.encoder_param, outlier=h.encoder_outlier,
             csize=h.compressed_size, stored_csum=stored.astype(np.uint32),
-            nbytes=int(lens.sum()))
+            nbytes=int(lens.sum()), uniform=uniform)
 
     # -- device decode ----------------------------------------------------
     def decode_staged(self, st: StagedFrames,
@@ -784,12 +795,19 @@ class BatchDecompressor:
 
         # header-driven dispatch: one device pass per method group
         # present.  The common lockstep case (ONE compressed group) runs
-        # byte swap + decode + checksum as a single fused dispatch.
-        key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)
-        keys = np.unique(key)
-        if len(keys) == 1:
-            prep, enc, cs = (int(keys[0]) // 16, (int(keys[0]) // 2) % 8,
-                             int(keys[0]) % 2)
+        # byte swap + decode + checksum as a single fused dispatch;
+        # ``st.uniform`` (computed during the C stage parse) skips the
+        # group scan entirely on that path.
+        if st.uniform and st.prep.size:
+            keys = None
+            prep, enc, cs = int(st.prep[0]), int(st.enc[0]), int(st.cs[0])
+        else:
+            key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)
+            keys = np.unique(key)
+            if len(keys) == 1:
+                prep, enc, cs = (int(keys[0]) // 16,
+                                 (int(keys[0]) // 2) % 8, int(keys[0]) % 2)
+        if keys is None or len(keys) == 1:
             if not (prep == 0 and enc == 0):
                 cfg, g_dyn, o_dyn = self._group_cfg(prep, enc, cs, st.g,
                                                     st.outlier)
@@ -809,6 +827,9 @@ class BatchDecompressor:
 
         if st.raw:
             words_dev = bswap32(words_dev)
+        if keys is None:  # uniform uncompressed batch fell through
+            key = (st.prep.astype(np.int64) * 16 + st.enc * 2 + st.cs)
+            keys = np.unique(key)
         samples = None
         end_bits = None
         for k in keys:
@@ -894,7 +915,11 @@ class BatchDecompressor:
             outlier=cat([s.outlier for s in sts]),
             csize=cat([s.csize for s in sts]),
             stored_csum=cat([s.stored_csum for s in sts]),
-            nbytes=sum(s.nbytes for s in sts))
+            nbytes=sum(s.nbytes for s in sts),
+            uniform=all(s.uniform for s in sts) and len(
+                {(int(s.prep[0]), int(s.enc[0]), int(s.cs[0]),
+                  int(s.g[0]), int(s.outlier[0]))
+                 for s in sts if s.prep.size}) <= 1)
         dec = self.decode_staged(comb, words_dev=stacked)
         outs = []
         o = 0

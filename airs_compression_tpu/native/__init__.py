@@ -96,7 +96,7 @@ def get_lib():
         lib.airs_stage_parse.restype = ctypes.c_int32
         lib.airs_stage_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 9
+            ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 10
         _lib = lib
         return _lib
 
@@ -181,9 +181,11 @@ def stage_parse(buf: np.ndarray, lens: np.ndarray, n_samples: int):
     """Batched header parse + validation for the staged decode tiers.
 
     One C pass over the (B, stride) staged byte matrix; returns the
-    header columns ``(prep, enc, cs, seq, g, outlier, csize, stored)``
-    on success or ``(fail_rank, fail_block)`` ints on validation failure
-    (check list and order identical to the numpy path in
+    header columns ``(prep, enc, cs, seq, g, outlier, csize, stored,
+    uniform)`` on success (``uniform`` — every row shares row 0's method
+    byte and encoder parameters, the common lockstep case) or
+    ``(fail_rank, fail_block)`` ints on validation failure (check list
+    and order identical to the numpy path in
     models/stream.BatchDecompressor._stage_from_buf).  Caller must have
     checked native_available().
     """
@@ -199,6 +201,7 @@ def stage_parse(buf: np.ndarray, lens: np.ndarray, n_samples: int):
     csize = np.empty(B, np.int64)
     stored = np.empty(B, np.uint32)
     fail_block = np.zeros(1, np.int64)
+    uniform = np.zeros(1, np.int32)
     vp = ctypes.c_void_p
     rc = int(lib.airs_stage_parse(
         buf.ctypes.data_as(vp), lens64.ctypes.data_as(vp), B, stride,
@@ -206,10 +209,10 @@ def stage_parse(buf: np.ndarray, lens: np.ndarray, n_samples: int):
         cs.ctypes.data_as(vp), seq.ctypes.data_as(vp),
         g.ctypes.data_as(vp), outlier.ctypes.data_as(vp),
         csize.ctypes.data_as(vp), stored.ctypes.data_as(vp),
-        fail_block.ctypes.data_as(vp)))
+        fail_block.ctypes.data_as(vp), uniform.ctypes.data_as(vp)))
     if rc:
         return rc - 1, int(fail_block[0])
-    return prep, enc, cs, seq, g, outlier, csize, stored
+    return prep, enc, cs, seq, g, outlier, csize, stored, bool(uniform[0])
 
 
 def checksum_u16(samples_u16: np.ndarray, seed: int) -> int:

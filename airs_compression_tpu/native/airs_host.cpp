@@ -368,7 +368,9 @@ int64_t airs_gather_rows(const uint8_t* rows, const int64_t* lens, int64_t b,
 // row with any failure reports its own first failing check.
 //
 // Returns 0 on success; otherwise (failing_check_rank + 1), with
-// *fail_block set to the offending row.
+// *fail_block set to the offending row.  On success *uniform is set to 1
+// when every row shares row 0's method byte and encoder parameters (the
+// common lockstep case — lets the decode dispatcher skip its group scan).
 // --------------------------------------------------------------------------
 
 static inline uint32_t be16(const uint8_t* p) {
@@ -384,7 +386,8 @@ int32_t airs_stage_parse(const uint8_t* buf, const int64_t* lens, int64_t b,
                          int32_t* prep, int32_t* enc, int32_t* cs,
                          int32_t* seq, uint32_t* g, uint32_t* outlier,
                          int64_t* csize, uint32_t* stored,
-                         int64_t* fail_block) {
+                         int64_t* fail_block, int32_t* uniform) {
+    *uniform = 1;
     for (int64_t i = 0; i < b; ++i) {
         const uint8_t* h = buf + i * stride;
         int64_t len = lens[i];
@@ -413,6 +416,9 @@ int32_t airs_stage_parse(const uint8_t* buf, const int64_t* lens, int64_t b,
         g[i] = gp;
         outlier[i] = ext ? be24(h + 19) : 0;
         csize[i] = cz;
+        if (i > 0 && (method != buf[15] || gp != g[0]
+                      || outlier[i] != outlier[0]))
+            *uniform = 0;
         if (cs[i]) {
             // trailing BE u32 at csize - 4; per-byte indices clamped to
             // [0, stride) exactly like the numpy path's np.clip (a tiny

@@ -138,6 +138,11 @@ def test_stage_parse_tiny_csize_clamps_trailer():
         buf[b, 17:19] = (0, 3)
     lens = np.full(B, stride, np.int64)
     res = native.stage_parse(buf, lens, 4)
-    assert len(res) == 8  # parsed, not failed
-    prep, enc, cs, seq, g, outlier, csize, stored = res
+    assert len(res) == 9  # parsed, not failed
+    prep, enc, cs, seq, g, outlier, csize, stored, uniform = res
     assert list(csize) == [2, 2] and list(g) == [3, 3]
+    assert uniform is True
+    buf2 = buf.copy()
+    buf2[1, 17:19] = (0, 5)  # different encoder parameter
+    res2 = native.stage_parse(buf2, lens, 4)
+    assert len(res2) == 9 and res2[-1] is False
