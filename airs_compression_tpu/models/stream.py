@@ -397,10 +397,7 @@ def bswap32(w: jax.Array) -> jax.Array:
     return _bswap32_expr(w)
 
 
-@functools.partial(jax.jit, static_argnames=("raws", "nw"))
-def _stack_words(ws, raws: "tuple[bool, ...]", nw: int):
-    """Swap/pad/concatenate several batches' word matrices in ONE
-    dispatch (the coalesced launch's staging-side device work)."""
+def _stack_words_expr(ws, raws: "tuple[bool, ...]", nw: int):
     out = []
     for w, r in zip(ws, raws):
         if r:
@@ -409,6 +406,35 @@ def _stack_words(ws, raws: "tuple[bool, ...]", nw: int):
             w = jnp.pad(w, ((0, 0), (0, nw - w.shape[1])))
         out.append(w)
     return jnp.concatenate(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("raws", "nw"))
+def _stack_words(ws, raws: "tuple[bool, ...]", nw: int):
+    """Swap/pad/concatenate several batches' word matrices in ONE
+    dispatch (the coalesced launch's staging-side device work)."""
+    return _stack_words_expr(ws, raws, nw)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "raws",
+                                             "nw", "do_csum"))
+def _stack_decode_group_fused(cfg, ws, model, n_samples: int,
+                              raws: "tuple[bool, ...]", nw: int,
+                              do_csum: bool, g_dyn=None, outlier_dyn=None):
+    """ONE dispatch for a whole coalesced launch group: byte swap + pad +
+    stack of every member batch's word matrix, the gridded lockstep
+    decode over the stacked lanes, and the batched device checksum.  The
+    grouped steady state re-dispatches this every ``group`` batches, so
+    folding the stack into the decode program (instead of dispatching
+    ``_stack_words`` separately) halves the launch count — on a
+    latency-bound link that IS the sustained rate."""
+    from ..ops.decode import decode_blocks_device
+    from ..ops.xxh32_device import checksum_blocks_device
+
+    words = _stack_words_expr(ws, raws, nw)
+    samples, end_bits = decode_blocks_device(
+        cfg, words, model, n_samples, g_dyn=g_dyn, outlier_dyn=outlier_dyn)
+    csum = checksum_blocks_device(samples) if do_csum else None
+    return samples, end_bits, csum
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "swap",
@@ -465,6 +491,38 @@ class StagedFrames:
     uniform: bool = False
 
 
+class _GroupFetch:
+    """Fetch-once holder for a coalesced launch's stacked outputs.
+
+    Every member of a grouped launch (:meth:`BatchDecompressor.
+    decode_staged_multi`) shares one of these instead of carrying
+    device-sliced views: slicing a device array is a dispatch, and a
+    4-batch group would pay ~12 extra launches per group — more than the
+    grouping saves on a latency-bound link.  The first :meth:`host` call
+    fetches the whole group's samples/end_bits/csum in ONE transfer;
+    members then window the host arrays for free.
+    """
+
+    __slots__ = ("samples", "end_bits", "csum", "_host")
+
+    def __init__(self, samples, end_bits, csum):
+        self.samples, self.end_bits, self.csum = samples, end_bits, csum
+        self._host = None
+
+    def host(self):
+        if self._host is None:
+            want = [self.samples, self.end_bits]
+            if self.csum is not None:
+                want.append(self.csum)
+            got = jax.device_get(want)
+            self._host = (
+                np.asarray(got[0]),
+                np.asarray(got[1], np.int64),
+                np.asarray(got[2], np.uint64) if self.csum is not None
+                else None)
+        return self._host
+
+
 @_dataclasses.dataclass
 class DecodedFrames:
     """Device-side decode result, integrity checks not yet applied.
@@ -473,11 +531,20 @@ class DecodedFrames:
     the caller's (or :meth:`BatchDecompressor.finish`'s) choice, so a
     pipelined consumer can keep everything on device and defer the
     integrity fetch to a batch boundary.
+
+    For members of a coalesced launch, ``group`` holds the shared
+    :class:`_GroupFetch` and ``lo`` this member's first row in the
+    stacked arrays (``samples``/``end_bits``/``csum`` then reference the
+    FULL stacked device arrays — device-side slicing would cost a
+    dispatch per member; :meth:`BatchDecompressor.finish` windows the
+    one shared host fetch instead).
     """
 
     samples: jax.Array           # (B, N) int32
     end_bits: jax.Array          # (B,) payload end bit position
     csum: "jax.Array | None"     # (B,) uint32 computed XXH32, or None
+    group: "_GroupFetch | None" = None
+    lo: int = 0
 
 
 # Staging validation outcomes by rank — shared by the numpy check matrix
@@ -760,6 +827,18 @@ class BatchDecompressor:
             nbytes=int(lens.sum()), uniform=uniform)
 
     # -- device decode ----------------------------------------------------
+    def _zero_model(self, B: int) -> jax.Array:
+        """Per-lane-count zero model for coalesced launches, cached —
+        steady-state grouped launches re-dispatch every group and must
+        not re-allocate (or re-upload) it."""
+        cache = getattr(self, "_zero_models", None)
+        if cache is None:
+            cache = self._zero_models = {}
+        model = cache.get(B)
+        if model is None:
+            model = cache[B] = jnp.zeros((B, self.n_samples), jnp.int32)
+        return model
+
     def decode_staged(self, st: StagedFrames,
                       words_dev: "jax.Array | None" = None) -> DecodedFrames:
         """Run the device decode passes for a staged batch.
@@ -786,7 +865,7 @@ class BatchDecompressor:
         if B != self.batch:
             # coalesced multi-batch launch (decode_staged_multi): only
             # stateless configs may coalesce, so a zero model is correct
-            model = jnp.zeros((B, self.n_samples), jnp.int32)
+            model = self._zero_model(B)
 
         from ..ops.xxh32_device import use_device_checksum
 
@@ -895,17 +974,16 @@ class BatchDecompressor:
         :meth:`decode_staged`).  Returns one DecodedFrames per input, in
         order (device-resident; finish each against its own staging).
         """
+        if len(sts) == 1:
+            return [self.decode_staged(
+                sts[0], None if words_dev is None else words_dev[0])]
         if self.params.model_is_needed():
             raise CmpError(
                 CmpErrorCode.PARAMS_INVALID,
                 "coalesced decode requires stateless (non-MODEL) streams")
-        if len(sts) == 1:
-            return [self.decode_staged(
-                sts[0], None if words_dev is None else words_dev[0])]
         nw = max(s.n_words for s in sts)
         ws = [jnp.asarray(s.words) if words_dev is None else words_dev[i]
               for i, s in enumerate(sts)]
-        stacked = _stack_words(ws, tuple(s.raw for s in sts), nw)
         cat = np.concatenate
         comb = StagedFrames(
             words=None, raw=False, n_words=nw,
@@ -920,16 +998,36 @@ class BatchDecompressor:
                 {(int(s.prep[0]), int(s.enc[0]), int(s.cs[0]),
                   int(s.g[0]), int(s.outlier[0]))
                  for s in sts if s.prep.size}) <= 1)
-        dec = self.decode_staged(comb, words_dev=stacked)
+        if comb.uniform and comb.prep.size and not (
+                int(comb.prep[0]) == 0 and int(comb.enc[0]) == 0):
+            # lockstep group: fold the swap/pad/stack into the decode
+            # program itself — the whole coalesced launch is ONE dispatch
+            from ..ops.xxh32_device import use_device_checksum
+
+            prep, enc, cs = (int(comb.prep[0]), int(comb.enc[0]),
+                             int(comb.cs[0]))
+            cfg, g_dyn, o_dyn = self._group_cfg(prep, enc, cs, comb.g,
+                                                comb.outlier)
+            want_csum = (self.verify_checksum and cs != 0
+                         and use_device_checksum())
+            samples, end_bits, csum = _stack_decode_group_fused(
+                cfg, tuple(ws), self._zero_model(comb.prep.shape[0]),
+                self.n_samples, tuple(s.raw for s in sts), nw, want_csum,
+                None if g_dyn is None else jnp.asarray(g_dyn),
+                None if o_dyn is None else jnp.asarray(o_dyn))
+            dec = DecodedFrames(samples=samples, end_bits=end_bits,
+                                csum=csum)
+        else:
+            stacked = _stack_words(ws, tuple(s.raw for s in sts), nw)
+            dec = self.decode_staged(comb, words_dev=stacked)
+        shared = _GroupFetch(dec.samples, dec.end_bits, dec.csum)
         outs = []
         o = 0
         for s in sts:
-            b = s.prep.shape[0]
             outs.append(DecodedFrames(
-                samples=dec.samples[o:o + b],
-                end_bits=dec.end_bits[o:o + b],
-                csum=None if dec.csum is None else dec.csum[o:o + b]))
-            o += b
+                samples=dec.samples, end_bits=dec.end_bits, csum=dec.csum,
+                group=shared, lo=o))
+            o += s.prep.shape[0]
         return outs
 
     # -- integrity + fetch -------------------------------------------------
@@ -941,11 +1039,24 @@ class BatchDecompressor:
         pipelined caller defers it past the next batch's staging.
         """
         B = st.csize.shape[0]
-        fetch = [dec.end_bits]
-        if dec.csum is not None:
-            fetch.append(dec.csum)
-        fetched = jax.device_get(fetch)
-        end_np = np.asarray(fetched[0], np.int64)
+        if dec.group is not None:
+            # coalesced member: ONE shared fetch for the whole launch
+            # group, windowed here on host (device-side slicing would
+            # cost a dispatch per member)
+            s_all, e_all, c_all = dec.group.host()
+            w = slice(dec.lo, dec.lo + B)
+            end_np = e_all[w]
+            samples_np = s_all[w]
+            calc_np = None if c_all is None else c_all[w]
+        else:
+            fetch = [dec.end_bits]
+            if dec.csum is not None:
+                fetch.append(dec.csum)
+            fetched = jax.device_get(fetch)
+            end_np = np.asarray(fetched[0], np.int64)
+            samples_np = None
+            calc_np = (np.asarray(fetched[1], np.uint64)
+                       if dec.csum is not None else None)
 
         # bitstream-exhaustion check, mirroring the host decoder's
         # "payload exceeds compressed_size" guard (engine/host.py): a
@@ -963,9 +1074,11 @@ class BatchDecompressor:
         # decode_staged computed the checksums on device when the
         # backend routing allows; otherwise verify here on host with the
         # native xxhash fast path over the fetched samples.
-        out = np.asarray(dec.samples).astype(np.int32).astype(np.uint16)
-        if dec.csum is not None:
-            calc = np.asarray(fetched[1], np.uint64)
+        if samples_np is None:
+            samples_np = np.asarray(dec.samples)
+        out = samples_np.astype(np.int32).astype(np.uint16)
+        if calc_np is not None:
+            calc = calc_np
             bad = np.nonzero((st.cs != 0)
                              & (calc != st.stored_csum.astype(np.uint64)))[0]
         elif self.verify_checksum and (st.cs != 0).any():
@@ -998,7 +1111,42 @@ class BatchDecompressor:
                             _time.perf_counter() - _t0)
         return out
 
-    def decompress_stream(self, batches, coalesce: "bool | None" = None,
+    #: lane budget per coalesced launch: 4 full decoder tiles.  The
+    #: Pallas decoder grids over 1024-lane tiles, so one dispatch can
+    #: decode several batches; 4096 lanes amortizes per-dispatch launch
+    #: latency ~4x while the stacked word matrix + samples stay well
+    #: under VMEM/HBM pressure (~10 MB words + 16 MB samples at N=1024).
+    COALESCE_LANES = 4096
+
+    def _coalesce_group(self, coalesce: "bool | int | None") -> int:
+        """Resolve the ``coalesce`` argument to a launch group size."""
+        if coalesce is None:
+            if self.params.model_is_needed():
+                return 1
+            return max(1, min(8, self.COALESCE_LANES // max(self.batch, 1)))
+        if coalesce is False:
+            return 1
+        if coalesce is True:
+            # explicit True: caller demands coalescing — surface the
+            # stateless-only restriction instead of degrading silently
+            if self.params.model_is_needed():
+                raise CmpError(
+                    CmpErrorCode.PARAMS_INVALID,
+                    "coalesced decode requires stateless (non-MODEL) "
+                    "streams")
+            return max(2, min(8, self.COALESCE_LANES // max(self.batch, 1)))
+        group = int(coalesce)
+        if group < 1:
+            raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                           f"coalesce group must be >= 1, got {group}")
+        if group > 1 and self.params.model_is_needed():
+            raise CmpError(
+                CmpErrorCode.PARAMS_INVALID,
+                "coalesced decode requires stateless (non-MODEL) streams")
+        return group
+
+    def decompress_stream(self, batches,
+                          coalesce: "bool | int | None" = None,
                           depth: int = 1):
         """Pipelined decode over consecutive batches (a generator).
 
@@ -1011,37 +1159,37 @@ class BatchDecompressor:
         buffering that takes the public wrapper from serial
         stage-then-decode to device-bound (round-4 verdict Weak #1).
 
-        ``coalesce`` merges pairs of staged batches into one kernel
-        launch when the decoder tile has room (B*2 <= 1024) and the
-        stream is stateless (non-MODEL), recovering the full-tile decode
-        rate for sub-tile batch sizes (round-4 verdict Weak #5b); by
-        default it is enabled exactly under those conditions.
+        ``coalesce`` stacks consecutive staged batches into ONE kernel
+        launch (:meth:`decode_staged_multi`): the Pallas decoder grids
+        over 1024-lane tiles, so a multi-batch launch both fills the
+        tile for sub-tile batches (round-4 verdict Weak #5b) and
+        amortizes per-dispatch launch latency for full-tile batches —
+        the term that bounds the sustained pipelined rate.  Pass an int
+        for an explicit launch group size, ``True`` for the automatic
+        group (up to :attr:`COALESCE_LANES` lanes per launch), or
+        ``False`` to dispatch per batch.  Only stateless (non-MODEL)
+        streams may coalesce; the default picks the automatic group for
+        stateless streams and per-batch dispatch otherwise.  Grouping
+        trades ``group - 1`` batches of latency for throughput.
 
         Yields one (B, N) uint16 array per input batch, in order.
         """
         from collections import deque
 
-        if coalesce is None:
-            coalesce = (not self.params.model_is_needed()
-                        and 2 * self.batch <= 1024)
-        in_flight = max(1, depth) * (2 if coalesce else 1)
+        group = self._coalesce_group(coalesce)
+        in_flight = max(1, depth) * group
         pending: "deque[tuple[StagedFrames, DecodedFrames]]" = deque()
-        hold: "StagedFrames | None" = None
+        acc: "list[StagedFrames]" = []
         for item in batches:
-            st = (item if isinstance(item, StagedFrames)
-                  else self.stage_frames(item))
-            if coalesce and hold is None:
-                hold = st
+            acc.append(item if isinstance(item, StagedFrames)
+                       else self.stage_frames(item))
+            if len(acc) < group:
                 continue
-            if coalesce:
-                sts = [hold, st]
-                hold = None
-                pending.extend(zip(sts, self.decode_staged_multi(sts)))
-            else:
-                pending.append((st, self.decode_staged(st)))
+            pending.extend(zip(acc, self.decode_staged_multi(acc)))
+            acc = []
             while len(pending) > in_flight:
                 yield self.finish(*pending.popleft())
-        if hold is not None:
-            pending.append((hold, self.decode_staged(hold)))
+        if acc:
+            pending.extend(zip(acc, self.decode_staged_multi(acc)))
         while pending:
             yield self.finish(*pending.popleft())

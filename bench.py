@@ -1274,11 +1274,24 @@ def stage_wrapper_sustained():
     words_pool = jnp.asarray(st0.words)
 
     def pipeline(m):
-        dec = None
+        # one-deep pipeline with a sync per batch, like the real
+        # decompress_stream driver (finish() syncs once the pipeline
+        # fills): batch k+1's staging overlaps batch k's decode, and
+        # outstanding dispatches stay bounded.  block_until_ready ONLY —
+        # a single host fetch (even 4 KB of end_bits) flips this
+        # process's tunnel into a ~100 ms/launch dispatch regime
+        # PERMANENTLY (measured: the fetch itself stalls ~2.8 s, and no
+        # later dispatch recovers), so the timed loops must never fetch;
+        # every fetch-bearing gate runs after the numbers are taken.
+        prev = dec = None
         for _ in range(m):
             st_k = bd.stage_frames_at(stream, offs, lens)
             dec = bd.decode_staged(st_k, words_dev=words_pool)
-        return np.asarray(dec.end_bits), dec
+            if prev is not None:
+                prev.block_until_ready()
+            prev = dec.end_bits
+        prev.block_until_ready()
+        return prev, dec
 
     budget = min(max(remaining() - 300, 120), 900)
     log(f"compiling sustained wrapper decode (watchdog {budget:.0f}s)...")
@@ -1301,6 +1314,49 @@ def stage_wrapper_sustained():
     # only ever inflates a sample (BASELINE.md documents the spread)
     per_b = min(samples)
     gb = B * N * 2 / 1e9
+
+    # grouped steady state — decompress_stream's DEFAULT for stateless
+    # streams: GROUP consecutive batches staged on host, then ONE fused
+    # dispatch (_stack_decode_group_fused: swap + pad + stack + gridded
+    # 4096-lane decode + checksum) per group, amortizing per-launch
+    # latency GROUP-ways.  This is the wrapper's real per-batch rate.
+    group = bd._coalesce_group(None)
+    per_b_grouped = None
+    if group > 1:
+        def pipeline_grouped(m):
+            # same sync discipline per GROUP: one launch, one deferred
+            # sync — group k+1's four stagings overlap group k's decode.
+            # block only, never fetch (see pipeline()).
+            prev = None
+            for _ in range(m):
+                sts = [bd.stage_frames_at(stream, offs, lens)
+                       for _ in range(group)]
+                dec = bd.decode_staged_multi(
+                    sts, words_dev=[words_pool] * group)[-1]
+                if prev is not None:
+                    prev.block_until_ready()
+                prev = dec.end_bits
+            prev.block_until_ready()
+            return prev
+
+        budget = min(max(remaining() - 240, 120), 900)
+        log(f"compiling grouped sustained decode (group={group}, "
+            f"watchdog {budget:.0f}s)...")
+        t0 = time.time()
+        with_alarm(budget, pipeline_grouped, 1)
+        log(f"grouped sustained decode compiled+ran in {time.time()-t0:.1f}s")
+        gsamples = []
+        for _ in range(5):
+            t_lo = time.time()
+            pipeline_grouped(1)
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            pipeline_grouped(9)
+            t_hi = time.time() - t_hi
+            gsamples.append(max((t_hi - t_lo) / (8 * group), 1e-9))
+            log(f"  grouped lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+                f"{gsamples[-1]*1e3:.3f} ms/batch")
+        per_b_grouped = min(gsamples)
 
     # coalesced B=512 pair: one launch decodes two sub-tile batches.
     # The launch's device graph (stack = swap/pad/concat, then the fused
@@ -1369,12 +1425,35 @@ def stage_wrapper_sustained():
                 log("CORRECTNESS FAILURE: coalesced pair mismatch")
                 per_launch = None
                 break
+    if per_b_grouped is not None:
+        # gate: the grouped launch (stack fused into the decode program)
+        # round-trips with checksums against the same reference
+        sts_g = [bd.stage_frames_at(stream, offs, lens)
+                 for _ in range(group)]
+        decs_g = bd.decode_staged_multi(sts_g,
+                                        words_dev=[words_pool] * group)
+        for st_i, dec_i in zip(sts_g, decs_g):
+            got = bd.finish(st_i, dec_i)
+            if not np.array_equal(got.view(np.int16).astype(np.int32),
+                                  x_ref):
+                log("CORRECTNESS FAILURE: grouped sustained decode "
+                    "mismatch")
+                per_b_grouped = None
+                break
     log("correctness gate: sustained + coalesced wrapper decode "
         "round-trip (checksums verified on device)")
-    sus = gb / per_b
-    log(f"wrapper decode sustained: {per_b*1e3:.3f} ms/batch -> "
-        f"{sus:.2f} GB/s")
-    RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+    sus_solo = gb / per_b
+    log(f"wrapper decode sustained (per-batch dispatch): "
+        f"{per_b*1e3:.3f} ms/batch -> {sus_solo:.2f} GB/s")
+    RESULT["wrapper_decode_sustained_solo_gbps"] = round(sus_solo, 3)
+    if per_b_grouped is not None:
+        sus = gb / per_b_grouped
+        log(f"wrapper decode sustained (grouped x{group}, the default): "
+            f"{per_b_grouped*1e3:.3f} ms/batch -> {sus:.2f} GB/s")
+        RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+        RESULT["wrapper_decode_sustained_group"] = group
+    else:
+        RESULT["wrapper_decode_sustained_gbps"] = round(sus_solo, 3)
     if per_launch is not None:
         g_c = gb / per_launch
         log(f"b512 coalesced decode: {per_launch*1e3:.3f} ms per 2-batch "

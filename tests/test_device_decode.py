@@ -651,7 +651,7 @@ def test_decompress_stream_coalesced_pairs():
         batches.append(bc.compress_frames(f))
         origs.append(f)
     bd = BatchDecompressor(params, B, N)
-    outs = list(bd.decompress_stream(iter(batches), coalesce=True))
+    outs = list(bd.decompress_stream(iter(batches), coalesce=2))
     assert len(outs) == K
     for k in range(K):
         np.testing.assert_array_equal(outs[k], origs[k], err_msg=f"batch {k}")
@@ -663,4 +663,35 @@ def test_decompress_stream_coalesced_pairs():
     batches[1] = [bytes(b) for b in bad]
     with pytest.raises(CmpError):
         list(BatchDecompressor(params, B, N).decompress_stream(
-            iter(batches), coalesce=True))
+            iter(batches), coalesce=2))
+
+
+def test_decompress_stream_grouped_launches():
+    """M-way launch groups (full-tile coalescing) decode identically to
+    per-batch dispatch for every group size, including a non-dividing
+    tail and the automatic (True / default) group."""
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3, checksum_enabled=True)
+    B, N, K = 4, 160, 7
+    rng = np.random.default_rng(54)
+    bc = BatchCompressor(params, B, N)
+    batches, origs = [], []
+    for _ in range(K):
+        f = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+             & 0xFFFF).astype(np.uint16)
+        batches.append(bc.compress_frames(f))
+        origs.append(f)
+    for coalesce in (3, True, None, False):
+        bd = BatchDecompressor(params, B, N)
+        outs = list(bd.decompress_stream(iter(batches), coalesce=coalesce))
+        assert len(outs) == K
+        for k in range(K):
+            np.testing.assert_array_equal(
+                outs[k], origs[k], err_msg=f"coalesce={coalesce} batch {k}")
+    # invalid group sizes are rejected
+    from airs_compression_tpu.format.errors import CmpError
+
+    with pytest.raises(CmpError):
+        list(BatchDecompressor(params, B, N).decompress_stream(
+            iter(batches), coalesce=0))
