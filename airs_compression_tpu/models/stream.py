@@ -415,6 +415,108 @@ def _stack_words(ws, raws: "tuple[bool, ...]", nw: int):
     return _stack_words_expr(ws, raws, nw)
 
 
+def _gather_rows_expr(stream_be: jax.Array, offsets: jax.Array,
+                      lens: jax.Array, nw: int) -> jax.Array:
+    """(B, nw) frame word matrix gathered from a device-resident stream.
+
+    ``stream_be`` is the stream's (W,) big-endian uint32 word values;
+    frames start at arbitrary BYTE offsets, so each row gathers nw+1
+    words at word granularity and funnel-shifts by the byte remainder —
+    one whole-row gather (bulk copies on TPU) plus one elementwise pass,
+    instead of the 2 MiB host scatter the host staging pays per batch.
+    Bytes past each frame's length are zeroed, bit-exactly matching the
+    host scatter's tail memset (so malformed-stream poison semantics are
+    identical between the two staging tiers).
+    """
+    W = stream_be.shape[0]
+    # word base computed before the int32 narrowing so byte offsets past
+    # 2 GiB still index correctly (word indices stay < 2^31 to 8 GiB)
+    base = (offsets >> 2).astype(jnp.int32)
+    off = offsets.astype(jnp.int32)
+    ln = lens.astype(jnp.int32)
+    idx = base[:, None] + jnp.arange(nw + 1, dtype=jnp.int32)[None, :]
+    rows = jnp.take(stream_be, jnp.clip(idx, 0, W - 1), axis=0)
+    s = ((off & 3) * 8)[:, None].astype(jnp.uint32)
+    hi, lo = rows[:, :-1], rows[:, 1:]
+    w = jnp.where(s == 0, hi,
+                  (hi << s) | (lo >> (jnp.uint32(32) - jnp.maximum(
+                      s, jnp.uint32(1)))))
+    # zero tails: word j keeps its top (len - 4j) bytes, 0 past the end
+    j4 = jnp.arange(nw, dtype=jnp.int32)[None, :] * 4
+    keep = jnp.clip(ln[:, None] - j4, 0, 4).astype(jnp.uint32) * 8
+    mask = jnp.where(keep == 0, jnp.uint32(0),
+                     (~jnp.uint32(0)) << (jnp.uint32(32) - jnp.maximum(
+                         keep, jnp.uint32(1))))
+    return w & mask
+
+
+@_dataclasses.dataclass(frozen=True)
+class DeviceStream:
+    """A compressed stream resident on device (see ``upload_stream``).
+
+    Uploading the COMPRESSED bytes once and staging rows on device moves
+    the layout work from the host (2 MiB scatter per batch, the
+    sustained wrapper's bound) to the chip, and shrinks the host->device
+    transfer by the compression ratio versus uploading word matrices.
+    """
+
+    words: jax.Array   # (W,) uint32, host byte order (see ``swap``)
+    swap: bool         # True: device must byte-swap to BE word values
+    nbytes: int        # valid stream length in bytes
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "nw",
+                                             "swap", "do_csum"))
+def _stream_decode_group_fused(cfg, stream_u32, offsets, lens, model,
+                               n_samples: int, nw: int, swap: bool,
+                               do_csum: bool, g_dyn=None,
+                               outlier_dyn=None):
+    """ONE dispatch: byte swap + device row gather/align + lockstep
+    decode + batched checksum, all from the device-resident stream."""
+    from ..ops.decode import decode_blocks_device
+    from ..ops.xxh32_device import checksum_blocks_device
+
+    s = _bswap32_expr(stream_u32) if swap else stream_u32
+    words = _gather_rows_expr(s, offsets, lens, nw)
+    samples, end_bits = decode_blocks_device(
+        cfg, words, model, n_samples, g_dyn=g_dyn, outlier_dyn=outlier_dyn)
+    csum = checksum_blocks_device(samples) if do_csum else None
+    return samples, end_bits, csum
+
+
+def _combine_staged(sts: "list[StagedFrames]", nw: int) -> StagedFrames:
+    """Concatenate several stagings' header columns into one batch view
+    (the coalesced launch's combined metadata)."""
+    cat = np.concatenate
+    comb = StagedFrames(
+        words=None, raw=False, n_words=nw,
+        prep=cat([s.prep for s in sts]), enc=cat([s.enc for s in sts]),
+        cs=cat([s.cs for s in sts]), seq=cat([s.seq for s in sts]),
+        g=cat([s.g for s in sts]),
+        outlier=cat([s.outlier for s in sts]),
+        csize=cat([s.csize for s in sts]),
+        stored_csum=cat([s.stored_csum for s in sts]),
+        nbytes=sum(s.nbytes for s in sts),
+        uniform=all(s.uniform for s in sts) and len(
+            {(int(s.prep[0]), int(s.enc[0]), int(s.cs[0]),
+              int(s.g[0]), int(s.outlier[0]))
+             for s in sts if s.prep.size}) <= 1)
+    if all(s.row_off is not None for s in sts):
+        comb = _dataclasses.replace(
+            comb, row_off=cat([s.row_off for s in sts]),
+            row_len=cat([s.row_len for s in sts]))
+    return comb
+
+
+@functools.partial(jax.jit, static_argnames=("nw", "swap"))
+def _gather_rows_device(stream_u32, offsets, lens, nw: int, swap: bool):
+    """Standalone gather program for the non-uniform (mixed-method)
+    fallback: produces the (B, nw) BE word matrix decode_staged expects
+    with ``raw=False`` semantics."""
+    s = _bswap32_expr(stream_u32) if swap else stream_u32
+    return _gather_rows_expr(s, offsets, lens, nw)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "raws",
                                              "nw", "do_csum"))
 def _stack_decode_group_fused(cfg, ws, model, n_samples: int,
@@ -489,6 +591,11 @@ class StagedFrames:
     # every block shares block 0's method byte + encoder parameters (the
     # common lockstep case): lets decode_staged skip its group scan
     uniform: bool = False
+    # device-staged decode (stage_headers_at): frame spans inside a
+    # device-resident stream; ``words`` is then None and the row
+    # gather/layout happens ON DEVICE inside the decode dispatch
+    row_off: "np.ndarray | None" = None   # (B,) int64 byte offsets
+    row_len: "np.ndarray | None" = None   # (B,) int64 byte lengths
 
 
 class _GroupFetch:
@@ -720,6 +827,214 @@ class BatchDecompressor:
         for b in range(self.batch):
             buf[b, : lens[b]] = sv[offsets[b] : offsets[b] + lens[b]]
         return self._stage_from_buf(buf, lens, n_words)
+
+    # -- device-staged decode (stream resident on device) ------------------
+    def upload_stream(self, stream: bytes) -> DeviceStream:
+        """Upload a compressed stream once for device-staged decode.
+
+        Pads to word alignment plus two guard words (the row gather
+        reads one word past each frame's span before masking).  Pair
+        with :meth:`stage_headers_at` + :meth:`decode_staged_from`: the
+        host then touches only ~22 bytes of header per frame instead of
+        scattering the full payload into a word matrix, and the
+        host->device transfer carries the COMPRESSED bytes.
+        """
+        import sys as _sys
+
+        pad = (-len(stream)) % 4 + 8
+        arr = np.frombuffer(stream + b"\0" * pad, np.uint32)
+        return DeviceStream(words=jnp.asarray(arr),
+                            swap=_sys.byteorder == "little",
+                            nbytes=len(stream))
+
+    def stage_headers_at(self, stream: bytes, offsets, lens) \
+            -> StagedFrames:
+        """Header-only staging for device-staged decode.
+
+        Parses and validates every frame header straight out of
+        ``stream`` (same check list/order as :meth:`stage_frames_at` —
+        the differential staging tests assert equivalence) WITHOUT
+        scattering payloads: the returned :class:`StagedFrames` carries
+        the frame spans (``row_off``/``row_len``) and ``words=None``;
+        :meth:`decode_staged_from` gathers the rows on device.
+        """
+        from ..format.header import (
+            CMP_HDR_MAX_SIZE,
+            CMP_HDR_SIZE,
+            parse_headers_batch,
+        )
+
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        B = self.batch
+        if lens.size != B or offsets.size != B:
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG)
+        if (offsets < 0).any() or (lens < 0).any() or (
+                offsets + lens > len(stream)).any():
+            raise CmpError(CmpErrorCode.SRC_SIZE_WRONG,
+                           "frame spans exceed the stream buffer")
+        n_words, stride = self._staging_geometry(lens)
+        from .. import native
+
+        if native.native_available():
+            res = native.stage_parse_at(stream, offsets, lens,
+                                        self.n_samples)
+            if len(res) == 2:
+                rank, block = res
+                code, msg = _STAGE_CHECK_ERRORS[rank]
+                raise CmpError(code, None if msg is None
+                               else f"block {block}: {msg}")
+            prep, enc, cs, seq, g, outlier, csize, stored, uniform = res
+            return StagedFrames(
+                words=None, raw=False, n_words=n_words,
+                prep=prep, enc=enc, cs=cs, seq=seq, g=g, outlier=outlier,
+                csize=csize, stored_csum=stored, nbytes=int(lens.sum()),
+                uniform=uniform, row_off=offsets, row_len=lens)
+
+        sv = np.frombuffer(stream, np.uint8)
+
+        def gather_bytes(start, count):
+            # (B, count) bytes from per-frame positions, 0 past the
+            # frame's end (mirrors the host scatter's zero tails)
+            idx = start[:, None] + np.arange(count)[None, :]
+            valid = (np.arange(count)[None, :]
+                     < (offsets + lens - start)[:, None]) & (start >= 0)[
+                         :, None] & (idx < len(stream))
+            return np.where(valid, sv[np.clip(idx, 0, max(len(sv) - 1,
+                                                          0))], 0)
+
+        hwidth = max(CMP_HDR_MAX_SIZE, 24)
+        hbuf = gather_bytes(offsets, hwidth).astype(np.uint8)
+        h = parse_headers_batch(hbuf)
+        checks = (
+            lens < CMP_HDR_SIZE,
+            h.has_extension & (lens < CMP_HDR_MAX_SIZE),
+            lens < h.compressed_size,
+            h.original_size != 2 * self.n_samples,
+            (h.preprocessing > 3) | (h.encoder_type > 2),
+            ((h.encoder_type != 0)
+             & ~((1 <= h.encoder_param) & (h.encoder_param <= 0xFFFF))),
+            (h.preprocessing == 3) & (h.sequence_number == 0),
+        )
+        fail_rank = np.full(B, len(checks), np.int64)
+        for rank, bad in reversed(list(enumerate(checks))):
+            fail_rank = np.where(bad, rank, fail_rank)
+        bad_blocks = np.nonzero(fail_rank < len(checks))[0]
+        if bad_blocks.size:
+            b = int(bad_blocks[0])
+            code, msg = _STAGE_CHECK_ERRORS[int(fail_rank[b])]
+            raise CmpError(code, None if msg is None
+                           else f"block {b}: {msg}")
+
+        tb = gather_bytes(offsets + h.compressed_size.astype(np.int64) - 4,
+                          4).astype(np.uint32)
+        stored = ((tb[:, 0] << 24) | (tb[:, 1] << 16)
+                  | (tb[:, 2] << 8) | tb[:, 3])
+        stored = np.where(h.checksum_enabled != 0, stored, 0)
+
+        uniform = bool(
+            (h.preprocessing == h.preprocessing[0]).all()
+            and (h.encoder_type == h.encoder_type[0]).all()
+            and (h.checksum_enabled == h.checksum_enabled[0]).all()
+            and (h.encoder_param == h.encoder_param[0]).all()
+            and (h.encoder_outlier == h.encoder_outlier[0]).all()) \
+            if B else True
+
+        return StagedFrames(
+            words=None, raw=False, n_words=n_words,
+            prep=h.preprocessing, enc=h.encoder_type,
+            cs=h.checksum_enabled, seq=h.sequence_number,
+            g=h.encoder_param, outlier=h.encoder_outlier,
+            csize=h.compressed_size, stored_csum=stored.astype(np.uint32),
+            nbytes=int(lens.sum()), uniform=uniform,
+            row_off=offsets, row_len=lens)
+
+    def decode_staged_from(self, st: StagedFrames, ds: DeviceStream,
+                           offsets_dev: "jax.Array | None" = None,
+                           lens_dev: "jax.Array | None" = None) \
+            -> DecodedFrames:
+        """Decode a header-staged batch straight from the device stream.
+
+        The common lockstep case (uniform method group) runs byte swap +
+        row gather/align + decode + checksum as ONE fused dispatch;
+        mixed-method batches gather first, then reuse the per-group
+        dispatch of :meth:`decode_staged`.  ``offsets_dev``/``lens_dev``
+        let a steady-state caller keep the span arrays device-resident
+        across calls instead of re-uploading (B,) arrays per dispatch.
+        """
+        if st.row_off is None:
+            raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                           "decode_staged_from needs stage_headers_at "
+                           "staging (row spans missing)")
+        B = st.prep.shape[0]
+        off = (offsets_dev if offsets_dev is not None
+               else jnp.asarray(st.row_off.astype(np.int32)))
+        ln = (lens_dev if lens_dev is not None
+              else jnp.asarray(st.row_len.astype(np.int32)))
+
+        from ..ops.xxh32_device import use_device_checksum
+
+        if st.uniform and st.prep.size and not (
+                int(st.prep[0]) == 0 and int(st.enc[0]) == 0):
+            prep, enc, cs = int(st.prep[0]), int(st.enc[0]), int(st.cs[0])
+            cfg, g_dyn, o_dyn = self._group_cfg(prep, enc, cs, st.g,
+                                                st.outlier)
+            want_csum = (self.verify_checksum and cs != 0
+                         and use_device_checksum())
+            model = (self.model if B == self.batch
+                     else self._zero_model(B))
+            samples, end_bits, csum = _stream_decode_group_fused(
+                cfg, ds.words, off, ln, model, self.n_samples,
+                st.n_words, ds.swap, want_csum,
+                None if g_dyn is None else jnp.asarray(g_dyn),
+                None if o_dyn is None else jnp.asarray(o_dyn))
+            if self.params.model_is_needed() and B == self.batch:
+                self.model = model_update_step(
+                    samples, model, jnp.asarray(st.seq),
+                    jnp.zeros((B,), bool),
+                    self.params.model_rate, self.cmp_type is CmpType.U16)
+            return DecodedFrames(samples=samples, end_bits=end_bits,
+                                 csum=csum)
+        words = _gather_rows_device(ds.words, off, ln, st.n_words,
+                                    ds.swap)
+        return self.decode_staged(st, words_dev=words)
+
+    def decode_staged_from_multi(self, sts: "list[StagedFrames]",
+                                 ds: DeviceStream,
+                                 offsets_dev: "jax.Array | None" = None,
+                                 lens_dev: "jax.Array | None" = None) \
+            -> "list[DecodedFrames]":
+        """Grouped device-staged decode: several header-staged batches,
+        ONE fused dispatch (swap + row gather + gridded decode +
+        checksum) straight from the device-resident stream — the launch
+        grouping of :meth:`decode_staged_multi` composed with the
+        device staging of :meth:`decode_staged_from`.
+        ``offsets_dev``/``lens_dev`` optionally carry the GROUP's
+        concatenated spans device-resident.  Stateless streams only.
+        """
+        if len(sts) == 1:
+            return [self.decode_staged_from(sts[0], ds, offsets_dev,
+                                            lens_dev)]
+        if self.params.model_is_needed():
+            raise CmpError(
+                CmpErrorCode.PARAMS_INVALID,
+                "coalesced decode requires stateless (non-MODEL) streams")
+        if any(s.row_off is None for s in sts):
+            raise CmpError(CmpErrorCode.PARAMS_INVALID,
+                           "decode_staged_from_multi needs "
+                           "stage_headers_at staging (row spans missing)")
+        nw = max(s.n_words for s in sts)
+        comb = _combine_staged(sts, nw)
+        dec = self.decode_staged_from(comb, ds, offsets_dev, lens_dev)
+        shared = _GroupFetch(dec.samples, dec.end_bits, dec.csum)
+        outs = []
+        o = 0
+        for s in sts:
+            outs.append(DecodedFrames(
+                samples=dec.samples, end_bits=dec.end_bits, csum=dec.csum,
+                group=shared, lo=o))
+            o += s.prep.shape[0]
+        return outs
 
     @staticmethod
     def _staging_geometry(lens: "np.ndarray") -> "tuple[int, int]":
@@ -984,20 +1299,7 @@ class BatchDecompressor:
         nw = max(s.n_words for s in sts)
         ws = [jnp.asarray(s.words) if words_dev is None else words_dev[i]
               for i, s in enumerate(sts)]
-        cat = np.concatenate
-        comb = StagedFrames(
-            words=None, raw=False, n_words=nw,
-            prep=cat([s.prep for s in sts]), enc=cat([s.enc for s in sts]),
-            cs=cat([s.cs for s in sts]), seq=cat([s.seq for s in sts]),
-            g=cat([s.g for s in sts]),
-            outlier=cat([s.outlier for s in sts]),
-            csize=cat([s.csize for s in sts]),
-            stored_csum=cat([s.stored_csum for s in sts]),
-            nbytes=sum(s.nbytes for s in sts),
-            uniform=all(s.uniform for s in sts) and len(
-                {(int(s.prep[0]), int(s.enc[0]), int(s.cs[0]),
-                  int(s.g[0]), int(s.outlier[0]))
-                 for s in sts if s.prep.size}) <= 1)
+        comb = _combine_staged(sts, nw)
         if comb.uniform and comb.prep.size and not (
                 int(comb.prep[0]) == 0 and int(comb.enc[0]) == 0):
             # lockstep group: fold the swap/pad/stack into the decode
@@ -1191,5 +1493,55 @@ class BatchDecompressor:
                 yield self.finish(*pending.popleft())
         if acc:
             pending.extend(zip(acc, self.decode_staged_multi(acc)))
+        while pending:
+            yield self.finish(*pending.popleft())
+
+    def decompress_file_stream(self, stream: bytes, offsets, lens,
+                               coalesce: "bool | int | None" = None,
+                               depth: int = 1):
+        """Device-staged pipelined decode of a whole frame manifest.
+
+        The compressed ``stream`` is uploaded ONCE (:meth:`upload_
+        stream` — the transfer carries the compressed bytes, smaller
+        than the decode word matrices by the compression ratio); then
+        consecutive windows of ``batch`` frames are header-staged on
+        host (~30 bytes touched per frame, no payload scatter) and
+        decoded by grouped fused dispatches that gather/align the rows
+        ON DEVICE.  ``offsets``/``lens`` locate every frame; the frame
+        count must be a multiple of ``batch`` (pad the manifest with a
+        repeat of the last frame and drop the tail rows otherwise, as
+        models/chunked.py does).  ``coalesce``/``depth`` as in
+        :meth:`decompress_stream`.
+
+        Yields one (B, N) uint16 array per window, in order.
+        """
+        from collections import deque
+
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        B = self.batch
+        if lens.size != offsets.size or lens.size % B:
+            raise CmpError(
+                CmpErrorCode.SRC_SIZE_WRONG,
+                "manifest length must be a multiple of the batch size")
+        ds = self.upload_stream(stream)
+        group = self._coalesce_group(coalesce)
+        in_flight = max(1, depth) * group
+        pending: "deque[tuple[StagedFrames, DecodedFrames]]" = deque()
+        acc: "list[StagedFrames]" = []
+        for w in range(lens.size // B):
+            acc.append(self.stage_headers_at(
+                stream, offsets[w * B:(w + 1) * B],
+                lens[w * B:(w + 1) * B]))
+            if len(acc) < group:
+                continue
+            pending.extend(zip(acc,
+                               self.decode_staged_from_multi(acc, ds)))
+            acc = []
+            while len(pending) > in_flight:
+                yield self.finish(*pending.popleft())
+        if acc:
+            pending.extend(zip(acc, self.decode_staged_from_multi(acc,
+                                                                  ds)))
         while pending:
             yield self.finish(*pending.popleft())

@@ -19,7 +19,8 @@ import numpy as np
 
 __all__ = ["get_lib", "native_available", "encode_residuals",
            "decode_mapped", "checksum_u16", "scatter_rows",
-           "scatter_rows_at", "gather_rows", "stage_parse"]
+           "scatter_rows_at", "gather_rows", "stage_parse",
+           "stage_parse_at"]
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "airs_host.cpp"
@@ -96,6 +97,10 @@ def get_lib():
         lib.airs_stage_parse.restype = ctypes.c_int32
         lib.airs_stage_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 10
+        lib.airs_stage_parse_at.restype = ctypes.c_int32
+        lib.airs_stage_parse_at.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 10
         _lib = lib
         return _lib
@@ -205,6 +210,40 @@ def stage_parse(buf: np.ndarray, lens: np.ndarray, n_samples: int):
     vp = ctypes.c_void_p
     rc = int(lib.airs_stage_parse(
         buf.ctypes.data_as(vp), lens64.ctypes.data_as(vp), B, stride,
+        n_samples, prep.ctypes.data_as(vp), enc.ctypes.data_as(vp),
+        cs.ctypes.data_as(vp), seq.ctypes.data_as(vp),
+        g.ctypes.data_as(vp), outlier.ctypes.data_as(vp),
+        csize.ctypes.data_as(vp), stored.ctypes.data_as(vp),
+        fail_block.ctypes.data_as(vp), uniform.ctypes.data_as(vp)))
+    if rc:
+        return rc - 1, int(fail_block[0])
+    return prep, enc, cs, seq, g, outlier, csize, stored, bool(uniform[0])
+
+
+def stage_parse_at(src: bytes, offs: np.ndarray, lens: np.ndarray,
+                   n_samples: int):
+    """Like :func:`stage_parse`, straight from the contiguous stream at
+    per-row byte offsets — no scattered row buffer (the device-staged
+    decode tier's host side: ~30 bytes touched per frame).  Same return
+    contract.  Caller must have checked native_available().
+    """
+    lib = get_lib()
+    B = int(lens.size)
+    offs64 = np.ascontiguousarray(offs, dtype=np.int64)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    prep = np.empty(B, np.int32)
+    enc = np.empty(B, np.int32)
+    cs = np.empty(B, np.int32)
+    seq = np.empty(B, np.int32)
+    g = np.empty(B, np.uint32)
+    outlier = np.empty(B, np.uint32)
+    csize = np.empty(B, np.int64)
+    stored = np.empty(B, np.uint32)
+    fail_block = np.zeros(1, np.int64)
+    uniform = np.zeros(1, np.int32)
+    vp = ctypes.c_void_p
+    rc = int(lib.airs_stage_parse_at(
+        src, offs64.ctypes.data_as(vp), lens64.ctypes.data_as(vp), B,
         n_samples, prep.ctypes.data_as(vp), enc.ctypes.data_as(vp),
         cs.ctypes.data_as(vp), seq.ctypes.data_as(vp),
         g.ctypes.data_as(vp), outlier.ctypes.data_as(vp),

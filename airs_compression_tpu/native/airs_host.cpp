@@ -439,4 +439,72 @@ int32_t airs_stage_parse(const uint8_t* buf, const int64_t* lens, int64_t b,
     return 0;
 }
 
+// Header parse/validate straight from the CONTIGUOUS stream at per-row
+// byte offsets — the device-staged decode tier's host side.  Identical
+// check list/order to airs_stage_parse, but no scattered row buffer
+// exists: bytes past a frame's length read as 0 (matching the scatter's
+// zero tails) and the trailer clamps within the frame span.  The host
+// touches ~30 bytes per frame instead of scattering the whole payload;
+// the row gather/alignment happens on device inside the decode dispatch.
+int32_t airs_stage_parse_at(const uint8_t* src, const int64_t* offs,
+                            const int64_t* lens, int64_t b,
+                            int64_t n_samples,
+                            int32_t* prep, int32_t* enc, int32_t* cs,
+                            int32_t* seq, uint32_t* g, uint32_t* outlier,
+                            int64_t* csize, uint32_t* stored,
+                            int64_t* fail_block, int32_t* uniform) {
+    *uniform = 1;
+    uint32_t method0 = 0, g0 = 0, o0 = 0;
+    for (int64_t i = 0; i < b; ++i) {
+        const uint8_t* h = src + offs[i];
+        int64_t len = lens[i];
+        // bounded header-byte reads: 0 past the frame's end
+        uint8_t hb[22];
+        for (int k = 0; k < 22; ++k) hb[k] = k < len ? h[k] : 0;
+        uint32_t method = hb[15];
+        int32_t pp = (method >> 4) & 0xF;
+        int32_t et = method & 0x7;
+        int ext = (pp != 0) || (et != 0);
+        int64_t cz = (int64_t)be24(hb + 2);
+        uint32_t gp = ext ? be16(hb + 17) : 0;
+        int rank = -1;
+        if (len < 16) rank = 0;
+        else if (ext && len < 22) rank = 1;
+        else if (len < cz) rank = 2;
+        else if ((int64_t)be24(hb + 5) != 2 * n_samples) rank = 3;
+        else if (pp > 3 || et > 2) rank = 4;
+        else if (et != 0 && !(1 <= gp && gp <= 0xFFFF)) rank = 5;
+        else if (pp == 3 && hb[14] == 0) rank = 6;
+        if (rank >= 0) {
+            *fail_block = i;
+            return rank + 1;
+        }
+        prep[i] = pp;
+        enc[i] = et;
+        cs[i] = (method >> 3) & 1;
+        seq[i] = hb[14];
+        g[i] = gp;
+        uint32_t ol = ext ? be24(hb + 19) : 0;
+        outlier[i] = ol;
+        csize[i] = cz;
+        if (i == 0) { method0 = method; g0 = gp; o0 = ol; }
+        else if (method != method0 || gp != g0 || ol != o0) *uniform = 0;
+        if (cs[i]) {
+            // trailing BE u32 at csize - 4, byte indices clamped within
+            // the frame span (mirrors the scattered path's clamp)
+            uint32_t v = 0;
+            for (int k = 0; k < 4; ++k) {
+                int64_t idx = cz - 4 + k;
+                if (idx < 0) idx = 0;
+                if (idx >= len) idx = len - 1;
+                v = (v << 8) | h[idx];
+            }
+            stored[i] = v;
+        } else {
+            stored[i] = 0;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -1358,6 +1358,54 @@ def stage_wrapper_sustained():
                 f"{gsamples[-1]*1e3:.3f} ms/batch")
         per_b_grouped = min(gsamples)
 
+    # device-staged sustained (decompress_file_stream's steady state):
+    # the compressed stream lives ON DEVICE (uploaded once); per batch
+    # the host parses ~30 header bytes/frame (native stage_parse_at, no
+    # payload scatter) and a grouped fused dispatch gathers/aligns the
+    # rows on device before decoding.  Fetch-free, same sync discipline.
+    per_b_devstaged = None
+    try:
+        ds = bd.upload_stream(stream)
+        dg = max(1, group)
+        off_gdev = jnp.asarray(
+            np.concatenate([offs] * dg).astype(np.int32))
+        len_gdev = jnp.asarray(
+            np.concatenate([lens] * dg).astype(np.int32))
+
+        def pipeline_devstaged(m):
+            prev = None
+            for _ in range(m):
+                sts = [bd.stage_headers_at(stream, offs, lens)
+                       for _ in range(dg)]
+                dec = bd.decode_staged_from_multi(
+                    sts, ds, offsets_dev=off_gdev, lens_dev=len_gdev)[-1]
+                if prev is not None:
+                    prev.block_until_ready()
+                prev = dec.end_bits
+            prev.block_until_ready()
+            return prev
+
+        budget = min(max(remaining() - 240, 120), 900)
+        log(f"compiling device-staged sustained decode (group={dg}, "
+            f"watchdog {budget:.0f}s)...")
+        t0 = time.time()
+        with_alarm(budget, pipeline_devstaged, 1)
+        log(f"device-staged sustained compiled+ran in {time.time()-t0:.1f}s")
+        dsamples = []
+        for _ in range(5):
+            t_lo = time.time()
+            pipeline_devstaged(1)
+            t_lo = time.time() - t_lo
+            t_hi = time.time()
+            pipeline_devstaged(9)
+            t_hi = time.time() - t_hi
+            dsamples.append(max((t_hi - t_lo) / (8 * dg), 1e-9))
+            log(f"  dev-staged lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms -> "
+                f"{dsamples[-1]*1e3:.3f} ms/batch")
+        per_b_devstaged = min(dsamples)
+    except Exception as e:
+        log(f"device-staged sub-stage failed: {type(e).__name__} {e}")
+
     # coalesced B=512 pair: one launch decodes two sub-tile batches.
     # The launch's device graph (stack = swap/pad/concat, then the fused
     # decode + checksum) is timed with the standard dynamic-trip-count
@@ -1440,20 +1488,47 @@ def stage_wrapper_sustained():
                     "mismatch")
                 per_b_grouped = None
                 break
+    if per_b_devstaged is not None:
+        # gate: device-staged grouped decode round-trips with checksums
+        ds_g = bd.upload_stream(stream)
+        sts_d = [bd.stage_headers_at(stream, offs, lens)
+                 for _ in range(max(1, group))]
+        decs_d = bd.decode_staged_from_multi(sts_d, ds_g)
+        for st_i, dec_i in zip(sts_d, decs_d):
+            got = bd.finish(st_i, dec_i)
+            if not np.array_equal(got.view(np.int16).astype(np.int32),
+                                  x_ref):
+                log("CORRECTNESS FAILURE: device-staged sustained decode "
+                    "mismatch")
+                per_b_devstaged = None
+                break
     log("correctness gate: sustained + coalesced wrapper decode "
         "round-trip (checksums verified on device)")
     sus_solo = gb / per_b
     log(f"wrapper decode sustained (per-batch dispatch): "
         f"{per_b*1e3:.3f} ms/batch -> {sus_solo:.2f} GB/s")
     RESULT["wrapper_decode_sustained_solo_gbps"] = round(sus_solo, 3)
+    best, best_how = per_b, "per-batch"
     if per_b_grouped is not None:
         sus = gb / per_b_grouped
-        log(f"wrapper decode sustained (grouped x{group}, the default): "
+        log(f"wrapper decode sustained (grouped x{group}): "
             f"{per_b_grouped*1e3:.3f} ms/batch -> {sus:.2f} GB/s")
-        RESULT["wrapper_decode_sustained_gbps"] = round(sus, 3)
+        RESULT["wrapper_decode_grouped_gbps"] = round(sus, 3)
         RESULT["wrapper_decode_sustained_group"] = group
-    else:
-        RESULT["wrapper_decode_sustained_gbps"] = round(sus_solo, 3)
+        if per_b_grouped < best:
+            best, best_how = per_b_grouped, f"grouped x{group}"
+    if per_b_devstaged is not None:
+        sus = gb / per_b_devstaged
+        log(f"wrapper decode sustained (device-staged file stream, "
+            f"grouped x{max(1, group)}): {per_b_devstaged*1e3:.3f} "
+            f"ms/batch -> {sus:.2f} GB/s")
+        RESULT["wrapper_decode_devstaged_gbps"] = round(sus, 3)
+        if per_b_devstaged < best:
+            best, best_how = per_b_devstaged, "device-staged grouped"
+    RESULT["wrapper_decode_sustained_gbps"] = round(gb / best, 3)
+    RESULT["wrapper_decode_sustained_how"] = best_how
+    log(f"wrapper decode sustained (best public path: {best_how}): "
+        f"{gb/best:.2f} GB/s")
     if per_launch is not None:
         g_c = gb / per_launch
         log(f"b512 coalesced decode: {per_launch*1e3:.3f} ms per 2-batch "

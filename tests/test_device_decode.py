@@ -695,3 +695,255 @@ def test_decompress_stream_grouped_launches():
     with pytest.raises(CmpError):
         list(BatchDecompressor(params, B, N).decompress_stream(
             iter(batches), coalesce=0))
+
+
+class TestDeviceStagedDecode:
+    """stage_headers_at + decode_staged_from: the row gather/alignment
+    runs on device from the uploaded compressed stream; results must be
+    indistinguishable from the host-scatter staging tier."""
+
+    @staticmethod
+    def _stream_of(params, B, N, seed=60, jitter=5):
+        rng = np.random.default_rng(seed)
+        bc = BatchCompressor(params, B, N)
+        f = ((1100 + rng.normal(0, jitter, (B, N))).astype(np.int64)
+             & 0xFFFF).astype(np.uint16)
+        frames = bc.compress_frames(f)
+        stream = b"".join(frames)
+        lens = np.fromiter((len(x) for x in frames), np.int64, count=B)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        return f, frames, stream, offs, lens
+
+    def test_matches_host_staging_uniform(self):
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3, checksum_enabled=True)
+        B, N = 6, 192
+        f, frames, stream, offs, lens = self._stream_of(params, B, N)
+        bd = BatchDecompressor(params, B, N)
+        ds = bd.upload_stream(stream)
+        st = bd.stage_headers_at(stream, offs, lens)
+        assert st.words is None and st.uniform
+        out = bd.finish(st, bd.decode_staged_from(st, ds))
+        np.testing.assert_array_equal(out, f)
+        # header columns identical to the host-scatter staging
+        st_h = bd.stage_frames_at(stream, offs, lens)
+        for col in ("prep", "enc", "cs", "seq", "g", "outlier", "csize",
+                    "stored_csum"):
+            np.testing.assert_array_equal(getattr(st, col),
+                                          getattr(st_h, col), err_msg=col)
+
+    def test_unaligned_offsets_and_prefix(self):
+        """Frames at arbitrary (non-word) byte offsets decode exactly:
+        a 1..3-byte prefix shifts every frame off word alignment."""
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3, checksum_enabled=True)
+        B, N = 4, 160
+        f, frames, stream, offs, lens = self._stream_of(params, B, N,
+                                                        seed=61)
+        for pre in (1, 2, 3):
+            shifted = b"\xAA" * pre + stream
+            bd = BatchDecompressor(params, B, N)
+            ds = bd.upload_stream(shifted)
+            st = bd.stage_headers_at(shifted, offs + pre, lens)
+            out = bd.finish(st, bd.decode_staged_from(st, ds))
+            np.testing.assert_array_equal(out, f, err_msg=f"prefix {pre}")
+
+    def test_mixed_methods_fallback(self):
+        """A non-uniform batch (different encoders per frame) routes
+        through the gather-then-decode_staged fallback."""
+        pz = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=3)
+        pm = CmpParams(primary_preprocessing=Preprocessing.IWT,
+                       primary_encoder_type=EncoderType.GOLOMB_MULTI,
+                       primary_encoder_param=5,
+                       primary_encoder_outlier=80)
+        B, N = 4, 160
+        rng = np.random.default_rng(62)
+        f = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+             & 0xFFFF).astype(np.uint16)
+        frames = []
+        for b in range(B):
+            ctx = CmpContext(pz if b % 2 == 0 else pm)
+            frames.append(ctx.compress_u16(f[b]))
+        stream = b"".join(frames)
+        lens = np.fromiter((len(x) for x in frames), np.int64, count=B)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        bd = BatchDecompressor(pz, B, N)
+        ds = bd.upload_stream(stream)
+        st = bd.stage_headers_at(stream, offs, lens)
+        assert not st.uniform
+        out = bd.finish(st, bd.decode_staged_from(st, ds))
+        np.testing.assert_array_equal(out, f)
+
+    def test_model_chain(self):
+        """MODEL-preprocessed secondary frames decode via the fused
+        stream path with the chain state carried across calls."""
+        params = CmpParams(
+            primary_preprocessing=Preprocessing.DIFF,
+            primary_encoder_type=EncoderType.GOLOMB_ZERO,
+            primary_encoder_param=3,
+            secondary_iterations=3,
+            secondary_preprocessing=Preprocessing.MODEL,
+            secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+            secondary_encoder_param=3, model_rate=8,
+            checksum_enabled=True)
+        B, N, K = 3, 160, 3
+        rng = np.random.default_rng(63)
+        bc = BatchCompressor(params, B, N)
+        base = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        batches, origs = [], []
+        for _ in range(K):
+            f = ((base.astype(np.int64) + rng.integers(-2, 3, (B, N)))
+                 & 0xFFFF).astype(np.uint16)
+            batches.append(bc.compress_frames(f))
+            origs.append(f)
+        bd = BatchDecompressor(params, B, N)
+        for k in range(K):
+            frames = batches[k]
+            stream = b"".join(frames)
+            lens = np.fromiter((len(x) for x in frames), np.int64,
+                               count=B)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ds = bd.upload_stream(stream)
+            st = bd.stage_headers_at(stream, offs, lens)
+            out = bd.finish(st, bd.decode_staged_from(st, ds))
+            np.testing.assert_array_equal(out, origs[k],
+                                          err_msg=f"batch {k}")
+
+    def test_corrupt_checksum_raises(self):
+        from airs_compression_tpu.format.errors import CmpError
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3, checksum_enabled=True)
+        B, N = 4, 160
+        f, frames, stream, offs, lens = self._stream_of(params, B, N,
+                                                        seed=64)
+        bad = bytearray(stream)
+        bad[int(offs[2] + lens[2]) - 1] ^= 0xFF  # block 2's trailer
+        bad = bytes(bad)
+        bd = BatchDecompressor(params, B, N)
+        ds = bd.upload_stream(bad)
+        st = bd.stage_headers_at(bad, offs, lens)
+        with pytest.raises(CmpError):
+            bd.finish(st, bd.decode_staged_from(st, ds))
+
+    def test_validation_parity_with_host_staging(self):
+        """Corrupt headers raise the same error from both staging tiers."""
+        from airs_compression_tpu.format.errors import CmpError
+
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3)
+        B, N = 4, 160
+        f, frames, stream, offs, lens = self._stream_of(params, B, N,
+                                                        seed=65)
+        bd = BatchDecompressor(params, B, N)
+
+        def err(fn):
+            try:
+                fn()
+            except CmpError as e:
+                return (e.code, str(e))
+            return None
+
+        # truncated header frame
+        s2 = bytearray(stream)
+        lens2 = lens.copy()
+        lens2[1] = 8
+        s2 = bytes(s2)
+        e_dev = err(lambda: bd.stage_headers_at(s2, offs, lens2))
+        e_host = err(lambda: bd.stage_frames_at(s2, offs, lens2))
+        assert e_dev == e_host and e_dev is not None
+        # bad golomb parameter in header (extension bytes 17..18)
+        s3 = bytearray(stream)
+        s3[int(offs[1]) + 17:int(offs[1]) + 19] = b"\x00\x00"
+        s3 = bytes(s3)
+        e_dev = err(lambda: bd.stage_headers_at(s3, offs, lens))
+        e_host = err(lambda: bd.stage_frames_at(s3, offs, lens))
+        assert e_dev == e_host and e_dev is not None
+        # wrong original size (bytes 5..8)
+        s4 = bytearray(stream)
+        s4[int(offs[2]) + 5:int(offs[2]) + 8] = b"\x00\x00\x01"
+        s4 = bytes(s4)
+        e_dev = err(lambda: bd.stage_headers_at(s4, offs, lens))
+        e_host = err(lambda: bd.stage_frames_at(s4, offs, lens))
+        assert e_dev == e_host and e_dev is not None
+
+    def test_grouped_stream_decode_and_file_driver(self):
+        """decode_staged_from_multi (one fused dispatch per group) and
+        the decompress_file_stream driver equal per-batch results."""
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3, checksum_enabled=True)
+        B, N, K = 4, 160, 6
+        rng = np.random.default_rng(66)
+        bc = BatchCompressor(params, B, N)
+        frames, origs = [], []
+        for _ in range(K):
+            f = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+                 & 0xFFFF).astype(np.uint16)
+            frames.extend(bc.compress_frames(f))
+            origs.append(f)
+        stream = b"".join(frames)
+        lens = np.fromiter((len(x) for x in frames), np.int64,
+                           count=B * K)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+        bd = BatchDecompressor(params, B, N)
+        ds = bd.upload_stream(stream)
+        sts = [bd.stage_headers_at(stream, offs[w * B:(w + 1) * B],
+                                   lens[w * B:(w + 1) * B])
+               for w in range(K)]
+        decs = bd.decode_staged_from_multi(sts, ds)
+        for w in range(K):
+            np.testing.assert_array_equal(bd.finish(sts[w], decs[w]),
+                                          origs[w], err_msg=f"win {w}")
+
+        for coalesce in (None, 1, 3):
+            bd2 = BatchDecompressor(params, B, N)
+            outs = list(bd2.decompress_file_stream(stream, offs, lens,
+                                                   coalesce=coalesce))
+            assert len(outs) == K
+            for w in range(K):
+                np.testing.assert_array_equal(
+                    outs[w], origs[w],
+                    err_msg=f"coalesce={coalesce} win {w}")
+
+    def test_file_driver_model_chain(self):
+        """decompress_file_stream carries MODEL chain state across
+        windows (group forced to 1 for stateful streams)."""
+        params = CmpParams(
+            primary_preprocessing=Preprocessing.DIFF,
+            primary_encoder_type=EncoderType.GOLOMB_ZERO,
+            primary_encoder_param=3,
+            secondary_iterations=4,
+            secondary_preprocessing=Preprocessing.MODEL,
+            secondary_encoder_type=EncoderType.GOLOMB_ZERO,
+            secondary_encoder_param=3, model_rate=8,
+            checksum_enabled=True)
+        B, N, K = 3, 160, 4
+        rng = np.random.default_rng(67)
+        bc = BatchCompressor(params, B, N)
+        base = ((1100 + rng.normal(0, 5, (B, N))).astype(np.int64)
+                & 0xFFFF).astype(np.uint16)
+        frames, origs = [], []
+        for _ in range(K):
+            f = ((base.astype(np.int64) + rng.integers(-2, 3, (B, N)))
+                 & 0xFFFF).astype(np.uint16)
+            frames.extend(bc.compress_frames(f))
+            origs.append(f)
+        stream = b"".join(frames)
+        lens = np.fromiter((len(x) for x in frames), np.int64,
+                           count=B * K)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        bd = BatchDecompressor(params, B, N)
+        outs = list(bd.decompress_file_stream(stream, offs, lens))
+        assert len(outs) == K
+        for w in range(K):
+            np.testing.assert_array_equal(outs[w], origs[w],
+                                          err_msg=f"win {w}")
