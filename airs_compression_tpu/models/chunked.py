@@ -105,9 +105,16 @@ def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 0).bit_length()
 
 
+#: streams at least this large decode via the device-staged tier (the
+#: compressed bytes upload once; row gather/alignment happens on device
+#: inside the decode dispatch) — below it, the one-off upload dominates
+DEVICE_STAGED_MIN_BYTES = 1 << 20
+
+
 def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                        batch: int = DEFAULT_BATCH,
-                       verify_checksum: bool = True) -> np.ndarray:
+                       verify_checksum: bool = True,
+                       device_staged: "bool | None" = None) -> np.ndarray:
     """Decompress a concatenated AIRSPACE stream through the device decoder.
 
     The device-side counterpart of :func:`compress_chunked` — and the
@@ -151,6 +158,9 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
     out_parts: "list[np.ndarray | None]" = [None] * len(blocks)
     state = DecoderState(cmp_type)
     decoders: "dict[tuple[int, int], BatchDecompressor]" = {}
+    if device_staged is None:
+        device_staged = n_total >= DEVICE_STAGED_MIN_BYTES
+    ds = None  # DeviceStream, uploaded lazily on the first device run
 
     # one-run-deep pipeline: a device run's finish (the only host sync)
     # is deferred until the NEXT run has been staged and dispatched, so
@@ -206,8 +216,17 @@ def decompress_chunked(stream: bytes, cmp_type: CmpType = CmpType.U16,
                                        cmp_type,
                                        verify_checksum=verify_checksum)
                 decoders[(b_pad, n_samples)] = bd
-            st = bd.stage_frames_at(stream, offs, lens)
-            dec = bd.decode_staged(st)
+            if device_staged:
+                # device-staged tier: compressed bytes uploaded once,
+                # host parses ~30 bytes of header per block, the decode
+                # dispatch gathers/aligns the rows on device
+                if ds is None:
+                    ds = bd.upload_stream(stream)
+                st = bd.stage_headers_at(stream, offs, lens)
+                dec = bd.decode_staged_from(st, ds)
+            else:
+                st = bd.stage_frames_at(stream, offs, lens)
+                dec = bd.decode_staged(st)
             _flush()  # previous run finishes AFTER this one dispatched
             pending = (i, j, bd, st, dec)
             i = j

@@ -242,3 +242,36 @@ class TestChunkedDecompress:
         bad[-1] ^= 0xFF
         with pytest.raises(CmpError):
             decompress_chunked(bytes(bad), batch=4)
+
+
+def test_chunked_decode_device_staged_matches(fixed_time):
+    """The device-staged file tier (stream resident on device, rows
+    gathered inside the decode dispatch) returns byte-identical output
+    to the host-scatter tier on the same stream, including fallback
+    blocks, host tail blocks, and corrupt-checksum rejection."""
+    from airs_compression_tpu.models.chunked import (
+        compress_chunked,
+        decompress_chunked,
+    )
+
+    params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                       primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                       primary_encoder_param=1,
+                       uncompressed_fallback_enabled=True,
+                       checksum_enabled=True)
+    rng = np.random.default_rng(31)
+    data = np.concatenate([
+        _data(rng, 1024),
+        rng.integers(0, 1 << 16, 2048).astype(np.uint16),  # falls back
+        _data(rng, 1500),  # host tail block
+    ])
+    got = compress_chunked(params, data, chunk_samples=1024, batch=4)
+    dec_host = decompress_chunked(got, batch=4, device_staged=False)
+    dec_dev = decompress_chunked(got, batch=4, device_staged=True)
+    np.testing.assert_array_equal(dec_dev, dec_host)
+    np.testing.assert_array_equal(dec_dev, data)
+
+    bad = bytearray(got)
+    bad[-1] ^= 0xFF
+    with pytest.raises(CmpError):
+        decompress_chunked(bytes(bad), batch=4, device_staged=True)

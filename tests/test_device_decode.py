@@ -947,3 +947,60 @@ class TestDeviceStagedDecode:
         for w in range(K):
             np.testing.assert_array_equal(outs[w], origs[w],
                                           err_msg=f"win {w}")
+
+    def test_native_vs_numpy_header_staging(self, monkeypatch):
+        """stage_headers_at's native C parse and numpy fallback return
+        identical columns on valid streams and identical errors on the
+        malformed corpus."""
+        from airs_compression_tpu import native
+        from airs_compression_tpu.format.errors import CmpError
+
+        if not native.native_available():
+            pytest.skip("no native toolchain")
+        params = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                           primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                           primary_encoder_param=3, checksum_enabled=True)
+        B, N = 5, 160
+        f, frames, stream, offs, lens = self._stream_of(params, B, N,
+                                                        seed=68)
+        bd = BatchDecompressor(params, B, N)
+
+        def run(s, o, ln, use_native):
+            if not use_native:
+                monkeypatch.setattr(native, "native_available",
+                                    lambda: False)
+            try:
+                st = bd.stage_headers_at(s, o, ln)
+            except CmpError as e:
+                return (e.code, str(e))
+            finally:
+                monkeypatch.undo()
+            return st
+
+        st_c = run(stream, offs, lens, True)
+        st_np = run(stream, offs, lens, False)
+        for field in ("prep", "enc", "cs", "seq", "g", "outlier", "csize",
+                      "stored_csum", "row_off", "row_len"):
+            np.testing.assert_array_equal(getattr(st_c, field),
+                                          getattr(st_np, field),
+                                          err_msg=field)
+        assert st_c.uniform == st_np.uniform
+
+        # malformed corpus: same (code, message) from both backends
+        muts = []
+        s2 = bytearray(stream)
+        s2[int(offs[1]) + 15] = 0xF7  # unknown method byte
+        muts.append((bytes(s2), offs, lens))
+        s3 = bytearray(stream)
+        s3[int(offs[2]) + 17:int(offs[2]) + 19] = b"\x00\x00"  # g=0
+        muts.append((bytes(s3), offs, lens))
+        lens4 = lens.copy()
+        lens4[0] = 8  # truncated header
+        muts.append((stream, offs, lens4))
+        s5 = bytearray(stream)
+        s5[int(offs[3]) + 5:int(offs[3]) + 8] = b"\x00\x00\x02"  # orig size
+        muts.append((bytes(s5), offs, lens))
+        for i, (s, o, ln) in enumerate(muts):
+            e_c = run(s, o, ln, True)
+            e_np = run(s, o, ln, False)
+            assert isinstance(e_c, tuple) and e_c == e_np, (i, e_c, e_np)
