@@ -91,6 +91,21 @@ def main() -> int:
         assert np.array_equal(decoded, origs[k])
     print(f"pipelined decode: {K} packed batches round-trip "
           f"(checksums verified, staging overlapped)")
+
+    # --- device-staged file decode -----------------------------------
+    # One whole-file manifest: the compressed stream uploads ONCE, the
+    # host parses ~30 bytes of header per frame, and grouped fused
+    # dispatches gather/align the rows on device (the fastest sustained
+    # public decode path).
+    file_stream = b"".join(b[0] for b in batches)
+    all_lens = np.concatenate([b[2] for b in batches])
+    all_offs = np.concatenate(([0], np.cumsum(all_lens)[:-1]))
+    bd2 = BatchDecompressor(params, B, N)
+    for k, decoded in enumerate(
+            bd2.decompress_file_stream(file_stream, all_offs, all_lens)):
+        assert np.array_equal(decoded, origs[k])
+    print(f"device-staged file decode: {K} windows round-trip "
+          f"(stream resident on device, grouped launches)")
     return 0
 
 
