@@ -422,3 +422,25 @@ def test_compress_frames_packed_assemble_variants():
         set_timestamp_func(None)
     assert dev == ref
     assert isinstance(arr, np.ndarray) and bytes(arr) == ref
+
+    # wildly varied per-row sizes (different noise levels + fallback
+    # rows) stress every word-boundary case of the scatter assembly
+    params2 = CmpParams(primary_preprocessing=Preprocessing.DIFF,
+                        primary_encoder_type=EncoderType.GOLOMB_ZERO,
+                        primary_encoder_param=1,
+                        uncompressed_fallback_enabled=True,
+                        checksum_enabled=True)
+    mixed = np.stack([
+        ((1100 + rng.normal(0, s, N)).astype(np.int64) & 0xFFFF)
+        for s in (0.1, 900, 4, 9000, 1, 40)]).astype(np.uint16)
+    set_timestamp_func(lambda: (0, 0))
+    try:
+        ref2, sizes2 = BatchCompressor(params2, B, N) \
+            .compress_frames_packed(mixed)
+        dev2, dsz2 = BatchCompressor(params2, B, N) \
+            .compress_frames_packed(mixed, assemble="device")
+    finally:
+        set_timestamp_func(None)
+    assert len(set(sizes2)) > 2  # genuinely varied frame sizes
+    np.testing.assert_array_equal(sizes2, dsz2)
+    assert dev2 == ref2
