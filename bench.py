@@ -1216,11 +1216,13 @@ def stage_wrapper_decode():
         words_pool = jnp.asarray(st0.words)
 
         def pipeline(m):
+            # block only, never fetch — see stage_wrapper_sustained
             dec = None
             for _ in range(m):
                 st_k = bd.stage_frames_at(stream, offs, lens)
                 dec = bd.decode_staged(st_k, words_dev=words_pool)
-            return np.asarray(dec.end_bits)
+            dec.end_bits.block_until_ready()
+            return dec.end_bits
 
         pipeline(2)  # warm
         samples = []
