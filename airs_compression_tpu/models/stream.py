@@ -326,7 +326,23 @@ class BatchCompressor:
         words, sizes_dev, sizes_np, fell_np = self._encode_frames(frames)
         little = _sys.byteorder == "little"
         total = int(sizes_np.sum())
-        if assemble == "device":
+        if assemble == "pallas":
+            # sequential-grid Pallas ragged concat: each frame's shifted
+            # span DMAs to its dynamic stream offset — one pass over the
+            # stream, no log2(B) tree traffic, no host memcpy
+            from ..ops.pallas_assemble import (
+                assemble_stream_pallas,
+                stream_capacity_words,
+            )
+
+            stream = assemble_stream_pallas(
+                words, sizes_dev,
+                stream_capacity_words(total, self.n_words),
+                interpret=jax.default_backend() == "cpu", swap=little)
+            arr = np.ascontiguousarray(
+                np.asarray(stream[: (total + 3) // 4])) \
+                .view(np.uint8)[:total]
+        elif assemble == "device":
             stream = _pack_stream_device(words, sizes_dev, little)
             arr = np.ascontiguousarray(
                 np.asarray(stream[: (total + 3) // 4])) \

@@ -444,3 +444,16 @@ def test_compress_frames_packed_assemble_variants():
     assert len(set(sizes2)) > 2  # genuinely varied frame sizes
     np.testing.assert_array_equal(sizes2, dsz2)
     assert dev2 == ref2
+
+    # the Pallas ragged-concat assembly produces the identical stream
+    # (interpret mode on CPU; the boundary-word last-writer contract is
+    # exercised by the varied sizes above)
+    for frames_in, want in ((frames, ref), (mixed, ref2)):
+        set_timestamp_func(lambda: (0, 0))
+        try:
+            pal, _ = BatchCompressor(
+                params2 if frames_in is mixed else params, B, N) \
+                .compress_frames_packed(frames_in, assemble="pallas")
+        finally:
+            set_timestamp_func(None)
+        assert pal == want
