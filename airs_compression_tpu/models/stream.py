@@ -297,7 +297,7 @@ class BatchCompressor:
         return frames_out
 
     def compress_frames_packed(self, frames, as_array: bool = False,
-                               assemble: str = "host"):
+                               assemble: str = "auto"):
         """Compress one (B, N) frame per chain into ONE packed stream.
 
         Returns ``(stream, sizes)``: the B frames concatenated in block
@@ -308,9 +308,17 @@ class BatchCompressor:
 
         ``assemble`` picks where the frames concatenate:
 
-        * ``"host"`` (default): fetch the byte-swapped frame matrix and
-          run one native C row gather — ~3 MB of host memcpy per 8 MiB
-          batch, fully overlappable with the next batch's device encode.
+        * ``"auto"`` (default): ``"pallas"`` on an accelerator backend
+          when the stream fits the kernel's VMEM budget, else ``"host"``.
+        * ``"pallas"``: sequential-grid ragged concat on device
+          (ops/pallas_assemble) — each frame's byte-shifted span merges
+          into the VMEM-resident stream in one pass.  Measured ~0.39 ms
+          of device time at B=512, N=8192 on v5e, replacing the host
+          gather entirely: 13.5 GB/s composed vs the host path's 9.1
+          (BASELINE.md stream-assembly finding).
+        * ``"host"``: fetch the byte-swapped frame matrix and run one
+          native C row gather — ~3 MB of host memcpy per 8 MiB batch,
+          fully overlappable with the next batch's device encode.
         * ``"device"``: merge the frame word streams through log2(B)
           funnel-shift levels on device (ops/bitpack.merge_streams_tree)
           and fetch only the trimmed stream.  Measured SLOWER on v5e
@@ -326,6 +334,12 @@ class BatchCompressor:
         words, sizes_dev, sizes_np, fell_np = self._encode_frames(frames)
         little = _sys.byteorder == "little"
         total = int(sizes_np.sum())
+        if assemble == "auto":
+            from ..ops.pallas_assemble import stream_capacity_words
+
+            cap_words = stream_capacity_words(total, self.n_words)
+            assemble = ("pallas" if jax.default_backend() != "cpu"
+                        and cap_words * 4 <= (8 << 20) else "host")
         if assemble == "pallas":
             # sequential-grid Pallas ragged concat: each frame's shifted
             # span DMAs to its dynamic stream offset — one pass over the

@@ -83,8 +83,8 @@ def _kernel(cw_ref, pad_ref, len_ref, fst_ref, words_ref, out_ref):
         # in-window lane offset (7 static rolls selected by d's bits —
         # TPU lane rotates are static-shift ops), then merge over the
         # window's current content below the offset
-        cw_al = (cw >> 7) << 7
-        d = cw - cw_al
+        cw_al = pl.multiple_of((cw >> 7) << 7, _LANES)
+        d = cw - ((cw >> 7) << 7)
         rolled = span
         for bit in (1, 2, 4, 8, 16, 32, 64):
             rolled = jnp.where((d & bit) != 0,

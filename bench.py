@@ -1583,10 +1583,19 @@ def stage_wrapper_encode():
             if bytes(stream[offs[i]: offs[i] + sizes[i]]) != ref:
                 log("CORRECTNESS FAILURE: packed wrapper != host codec")
                 return
+        # the default path (pallas assembly on TPU) must match the host
+        # gather over the FULL stream, every word-boundary case included
+        stream_h, sizes_h = with_alarm(
+            min(max(remaining() - 240, 120), 900),
+            BatchCompressor(params, B, N).compress_frames_packed,
+            frames, False, "host")
+        if stream_h != stream or not np.array_equal(sizes, sizes_h):
+            log("CORRECTNESS FAILURE: default assembly != host gather")
+            return
     finally:
         set_timestamp_func(None)
     log("correctness gate: packed encode wrapper byte-identical to host "
-        "codec")
+        "codec; default assembly == host gather over the full stream")
 
     # device phase A (host-assemble path): encode graph + byteswap,
     # one dynamic-trip loop (same methodology as the headline stage)
@@ -1597,7 +1606,15 @@ def stage_wrapper_encode():
     ids = jnp.zeros((B,), jnp.uint32)
     csum = jnp.zeros((B,), jnp.uint32)
 
-    def make_loop(device_assemble):
+    from airs_compression_tpu.ops.pallas_assemble import (
+        assemble_stream_pallas,
+        stream_capacity_words,
+    )
+
+    total_bytes = int(sizes.sum())
+    out_words = stream_capacity_words(int(total_bytes * 1.1), n_words)
+
+    def make_loop(mode):
         @jax.jit
         def loop(x, n_iter):
             def body(i, carry):
@@ -1611,15 +1628,19 @@ def stage_wrapper_encode():
                     words, szs = _encode_one_pass(cfg, x2, x2, seq, ids,
                                                   ids, csum, n_words)
                     ok = jnp.ones((B,), bool)
-                if device_assemble:
+                if mode == "device":
                     out = _pack_stream_device(words, szs, True)
+                elif mode == "pallas":
+                    out = assemble_stream_pallas(words, szs, out_words,
+                                                 swap=True)
                 else:
                     out = bswap32(words)
                 acc2 = (jnp.sum(out, dtype=jnp.uint32)
                         .astype(jnp.int32) + szs + ok.astype(jnp.int32))
                 return (acc2, out, szs, ok)
 
-            shape = (B * n_words,) if device_assemble else (B, n_words)
+            shape = {"device": (B * n_words,),
+                     "pallas": (out_words,)}.get(mode, (B, n_words))
             init = (jnp.zeros((B,), jnp.int32),
                     jnp.zeros(shape, jnp.uint32),
                     jnp.zeros((B,), jnp.int32),
@@ -1628,7 +1649,7 @@ def stage_wrapper_encode():
 
         return loop
 
-    loop = make_loop(False)
+    loop = make_loop("host")
     budget = min(max(remaining() - 240, 120), 900)
     log(f"compiling wrapper encode loop (watchdog {budget:.0f}s)...")
     t0 = time.time()
@@ -1660,18 +1681,37 @@ def stage_wrapper_encode():
 
     gb = B * N * 2 / 1e9
     gbps = gb / (t_dev + t_host)
-    log(f"wrapper encode B={B} N={N}: device {t_dev*1e3:.3f} ms + host "
-        f"{t_host*1e3:.3f} ms -> {gbps:.2f} GB/s (pipelined ceiling "
-        f"{gb / max(t_dev, t_host):.2f} GB/s)")
+    log(f"wrapper encode B={B} N={N} (host-assemble): device "
+        f"{t_dev*1e3:.3f} ms + host {t_host*1e3:.3f} ms -> {gbps:.2f} "
+        f"GB/s (pipelined ceiling {gb / max(t_dev, t_host):.2f} GB/s)")
     RESULT["wrapper_encode_gbps"] = round(gbps, 3)
+    RESULT["wrapper_encode_hostasm_gbps"] = round(gbps, 3)
     RESULT["wrapper_encode_host_ms"] = round(t_host * 1e3, 3)
     RESULT["wrapper_encode_device_ms"] = round(t_dev * 1e3, 3)
+
+    # Pallas ragged-concat assembly (the wrapper default on TPU): the
+    # whole encode+assemble is ONE device program, host phase reduces to
+    # the identifier draw + trimmed fetch
+    if remaining() > 300:
+        try:
+            loop_p = make_loop("pallas")
+            np.asarray(loop_p(x, 1)[0])
+            t_p = with_alarm(min(remaining(), 200),
+                             measure_loop, loop_p, x, 1, 513, 3)
+            g_p = gb / t_p
+            log(f"wrapper encode (pallas-assemble, default on TPU): "
+                f"{t_p*1e3:.3f} ms/iter -> {g_p:.2f} GB/s")
+            RESULT["wrapper_encode_pallas_gbps"] = round(g_p, 3)
+            if g_p > gbps:
+                RESULT["wrapper_encode_gbps"] = round(g_p, 3)
+        except Exception as e:
+            log(f"pallas-assemble variant failed: {type(e).__name__} {e}")
 
     # device-assemble variant (finding; see compress_frames_packed):
     # the merge tree's device cost replaces the host gather
     if remaining() > 420:
         try:
-            loop_d = make_loop(True)
+            loop_d = make_loop("device")
             np.asarray(loop_d(x, 1)[0])
             t_dev_d = with_alarm(min(remaining(), 150),
                                  measure_loop, loop_d, x, 1, 257, 3)
