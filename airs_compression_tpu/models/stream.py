@@ -312,9 +312,9 @@ class BatchCompressor:
           when the stream fits the kernel's VMEM budget, else ``"host"``.
         * ``"pallas"``: sequential-grid ragged concat on device
           (ops/pallas_assemble) — each frame's byte-shifted span merges
-          into the VMEM-resident stream in one pass.  Measured ~0.39 ms
+          into the VMEM-resident stream in one pass.  Measured ~0.09 ms
           of device time at B=512, N=8192 on v5e, replacing the host
-          gather entirely: 13.5 GB/s composed vs the host path's 9.1
+          gather entirely: 25.0 GB/s composed vs the host path's 9.1
           (BASELINE.md stream-assembly finding).
         * ``"host"``: fetch the byte-swapped frame matrix and run one
           native C row gather — ~3 MB of host memcpy per 8 MiB batch,

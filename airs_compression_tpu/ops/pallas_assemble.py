@@ -49,48 +49,56 @@ def _kernel(cw_ref, pad_ref, len_ref, fst_ref, words_ref, out_ref):
     wp = words_ref.shape[1]
     sp = wp + _LANES          # span: owned words fit in W+1 <= sp
     spp = sp + _LANES         # span window incl. alignment slack
-    t4 = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1) * 4
+    t4 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, sp), 1) * 4
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, spp), 1)
 
-    for r in range(_ROWS):    # unrolled: 8 frames per program
-        k = g * _ROWS + r
-        cw = cw_ref[k]        # first output word owned by frame k
-        pad = pad_ref[k]      # bytes of lead-in slack: 4*cw - offs[k]
-        ln = len_ref[k]       # frame byte length
-        fw1 = fst_ref[k]      # NEXT frame's first word (0 for the last)
+    # per-frame scalars of this program's 8 frames, as (8, 1) columns —
+    # the span math below runs VECTORIZED across the sublane axis (a
+    # (1, spp) op occupies a full 8-sublane vreg anyway, so computing
+    # all 8 frames at once costs the same instructions as one did)
+    k0 = g * _ROWS
+    col = [jnp.stack([ref[k0 + r] for r in range(_ROWS)])
+           .reshape(_ROWS, 1) for ref in (cw_ref, pad_ref, len_ref)]
+    cw, pad, ln = col
+    fw1 = jnp.stack([fst_ref[k0 + r] for r in range(_ROWS)]) \
+        .reshape(_ROWS, 1)    # NEXT frame's first word (0 for the last)
 
-        fw = words_ref[r:r + 1, :]   # (1, Wp) frame words, BE values
-        # span word t holds frame bytes [4t+pad, 4t+pad+4): a uniform
-        # funnel shift of (fw[t], fw[t+1]) left by pad*8 bits.  Shift
-        # amounts are masked to [0, 32) — the n==0 / s==0 cases are
-        # handled by the selects (Mosaic has no unsigned vector clamp).
-        hi = jnp.pad(fw, ((0, 0), (0, sp - wp)))
-        lo = jnp.pad(jnp.concatenate(
-            [fw[:, 1:], jnp.full((1, 1), fw1, _U32)], axis=1),
-            ((0, 0), (0, sp - wp)))
-        s = (pad * 8).astype(_U32)
-        c = jnp.where(s == 0, hi,
-                      (hi << s) | (lo >> ((_U32(32) - s) & _U32(31))))
-        # bytes of span word t owned by frame k; 0 past the frame's end
-        n = (jnp.clip(ln - (t4 + pad), 0, 4) * 8).astype(_U32)
-        mask = jnp.where(n == 0, _U32(0),
-                         (~_U32(0)) << ((_U32(32) - n) & _U32(31)))
-        spill = jnp.where((n > 0) & (n < 32),
-                          fw1 >> (n & _U32(31)), _U32(0))
-        span = jnp.pad((c & mask) | spill, ((0, 0), (0, spp - sp)))
+    fw = words_ref[...]       # (8, Wp) frame words, BE values
+    # span word t of frame r holds its bytes [4t+pad, 4t+pad+4): a
+    # uniform funnel shift of (fw[t], fw[t+1]) left by pad*8 bits.
+    # Shift amounts are masked to [0, 32) — the n==0 / s==0 cases are
+    # handled by the selects (Mosaic has no unsigned vector clamp).
+    hi = jnp.pad(fw, ((0, 0), (0, sp - wp)))
+    lo = jnp.pad(jnp.concatenate(
+        [fw[:, 1:], fw1], axis=1), ((0, 0), (0, sp - wp)))
+    s = (pad * 8).astype(_U32)
+    c = jnp.where(s == 0, hi,
+                  (hi << s) | (lo >> ((_U32(32) - s) & _U32(31))))
+    # bytes of span word t owned by frame r; 0 past the frame's end
+    n = (jnp.clip(ln - (t4 + pad), 0, 4) * 8).astype(_U32)
+    mask = jnp.where(n == 0, _U32(0),
+                     (~_U32(0)) << ((_U32(32) - n) & _U32(31)))
+    spill = jnp.where((n > 0) & (n < 32),
+                      fw1 >> (n & _U32(31)), _U32(0))
+    span = jnp.pad((c & mask) | spill, ((0, 0), (0, spp - sp)))
 
-        # place at the 128-aligned window: roll the span right by the
-        # in-window lane offset (7 static rolls selected by d's bits —
-        # TPU lane rotates are static-shift ops), then merge over the
-        # window's current content below the offset
-        cw_al = pl.multiple_of((cw >> 7) << 7, _LANES)
-        d = cw - ((cw >> 7) << 7)
-        rolled = span
-        for bit in (1, 2, 4, 8, 16, 32, 64):
-            rolled = jnp.where((d & bit) != 0,
-                               jnp.roll(rolled, bit, axis=1), rolled)
+    # place each frame at its 128-aligned window: roll the span right
+    # by the in-window lane offset (7 static rolls selected per row by
+    # d's bits — TPU lane rotates are static-shift ops, the per-row
+    # predicate is a broadcast select)
+    d = cw - ((cw >> 7) << 7)
+    rolled = span
+    for bit in (1, 2, 4, 8, 16, 32, 64):
+        rolled = jnp.where((d & bit) != 0,
+                           jnp.roll(rolled, bit, axis=1), rolled)
+
+    for r in range(_ROWS):    # merge over each window's current content
+        cw_r = cw_ref[k0 + r]
+        cw_al = pl.multiple_of((cw_r >> 7) << 7, _LANES)
+        d_r = cw_r - ((cw_r >> 7) << 7)
         cur = out_ref[:, pl.ds(cw_al, spp)]
-        out_ref[:, pl.ds(cw_al, spp)] = jnp.where(lane >= d, rolled, cur)
+        out_ref[:, pl.ds(cw_al, spp)] = jnp.where(
+            lane >= d_r, rolled[r:r + 1, :], cur)
 
 
 @functools.partial(jax.jit, static_argnames=("out_words", "interpret",
