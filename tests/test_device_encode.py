@@ -457,3 +457,48 @@ def test_compress_frames_packed_assemble_variants():
         finally:
             set_timestamp_func(None)
         assert pal == want
+
+
+def test_pallas_assembly_randomized_boundaries():
+    """The ragged-concat kernel (ops/pallas_assemble.py) reproduces a
+    plain byte concatenation for arbitrary frame contents and sizes —
+    every byte alignment (offs % 4), every in-window lane offset class,
+    non-multiple-of-8 batch counts, and extreme size variance.  Frames
+    are synthetic random bytes (>= 4 B each, one word — AIRSPACE frames
+    are >= 16 B), driven through the kernel directly in interpret mode;
+    the hardware-compiled path is gated in bench.py against the host
+    gather at B=512."""
+    import sys
+
+    from airs_compression_tpu.ops.pallas_assemble import (
+        assemble_stream_pallas,
+        stream_capacity_words,
+    )
+
+    rng = np.random.default_rng(0xA55E)
+    little = sys.byteorder == "little"
+    for trial in range(12):
+        B = int(rng.choice([3, 5, 8, 13, 16]))
+        W = int(rng.choice([8, 32, 64]))
+        sizes = rng.integers(4, W * 4, size=B, endpoint=True)
+        payloads = [rng.integers(0, 256, size=s, dtype=np.uint8)
+                    .tobytes() for s in sizes.tolist()]
+        want = b"".join(payloads)
+        rows = np.zeros((B, W * 4), np.uint8)
+        for b, p in enumerate(payloads):
+            rows[b, : len(p)] = np.frombuffer(p, np.uint8)
+        words_be = rows.reshape(B, W, 4).astype(np.uint32)
+        words_be = ((words_be[..., 0] << 24) | (words_be[..., 1] << 16)
+                    | (words_be[..., 2] << 8) | words_be[..., 3])
+        out = assemble_stream_pallas(
+            jnp.asarray(words_be, jnp.uint32),
+            jnp.asarray(sizes, jnp.int32),
+            stream_capacity_words(len(want), W),
+            interpret=True, swap=little)
+        got = np.ascontiguousarray(
+            np.asarray(out[: (len(want) + 3) // 4])) \
+            .view(np.uint8)[: len(want)].tobytes()
+        assert got == want, (
+            f"trial {trial}: B={B} W={W} sizes={sizes.tolist()} first "
+            f"mismatch at "
+            f"{next(i for i, (a, c) in enumerate(zip(got, want)) if a != c)}")
